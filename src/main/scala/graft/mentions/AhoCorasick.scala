@@ -1,0 +1,117 @@
+package graft.mentions
+
+import scala.collection.mutable
+
+/** Serializable Aho-Corasick automaton for gazetteer mention detection.
+  *
+  * Built ONCE on the driver from the (small) gazetteer table and
+  * broadcast to executors; matching is a single linear pass per page —
+  * the Spark-first replacement for a mention join (SURVEY.md §4.2:
+  * "trie is broadcast as an object, not a join at all").
+  *
+  * Classic goto/fail construction. `findAll` emits every occurrence of
+  * every pattern (overlaps included — equivalent to per-pattern
+  * `contains`+offsets, which the DuckDB oracle can check);
+  * `findNonOverlapping` applies leftmost-longest selection (so
+  * "South Korea" beats its suffix "Korea") — the linking-grade mode.
+  */
+final class AhoCorasick private (
+    val patterns: Array[(String, String)], // (surface, entity_id)
+    gotoMaps: Array[Map[Char, Int]],
+    fail: Array[Int],
+    out: Array[List[Int]]
+) extends Serializable {
+
+  final case class Hit(begin: Int, end: Int, patternIdx: Int) {
+    def surface(pats: Array[(String, String)]): String = pats(patternIdx)._1
+  }
+
+  @inline private def step(state0: Int, c: Char): Int = {
+    var state = state0
+    while (state != 0 && !gotoMaps(state).contains(c)) state = fail(state)
+    gotoMaps(state).getOrElse(c, 0)
+  }
+
+  private def boundaryOk(text: String, b: Int, e: Int): Boolean = {
+    val okL = b == 0 || !Character.isLetterOrDigit(text.charAt(b - 1))
+    val okR = e >= text.length || !Character.isLetterOrDigit(text.charAt(e))
+    okL && okR
+  }
+
+  /** All matches: (begin, endExclusive, patternIdx). */
+  def findAll(text: String, wordBoundary: Boolean = true): List[Hit] = {
+    val hits = mutable.ListBuffer.empty[Hit]
+    var state = 0
+    var i = 0
+    while (i < text.length) {
+      state = step(state, text.charAt(i))
+      var o = out(state)
+      while (o.nonEmpty) {
+        val pi = o.head
+        val len = patterns(pi)._1.length
+        val b = i + 1 - len
+        if (!wordBoundary || boundaryOk(text, b, i + 1)) hits += Hit(b, i + 1, pi)
+        o = o.tail
+      }
+      i += 1
+    }
+    hits.toList
+  }
+
+  /** Leftmost-longest non-overlapping selection. Deterministic:
+    * ties (same span) broken by pattern index.
+    */
+  def findNonOverlapping(text: String, wordBoundary: Boolean = true): List[Hit] = {
+    val all = findAll(text, wordBoundary)
+      .sortBy(h => (h.begin, -(h.end - h.begin), h.patternIdx))
+    val sel = mutable.ListBuffer.empty[Hit]
+    var lastEnd = 0
+    for (h <- all) {
+      if (h.begin >= lastEnd) { sel += h; lastEnd = h.end }
+      else if (sel.nonEmpty && h.begin < lastEnd && h.end > sel.last.end &&
+        h.begin == sel.last.begin) {
+        // longer match starting at same pos already preferred by sort
+      }
+    }
+    sel.toList
+  }
+}
+
+object AhoCorasick {
+
+  def build(gaz: Seq[(String, String)]): AhoCorasick = {
+    val patterns = gaz.filter(_._1.nonEmpty).toArray
+    val gotoMaps = mutable.ArrayBuffer[mutable.Map[Char, Int]](mutable.Map.empty)
+    val outB = mutable.ArrayBuffer[List[Int]](Nil)
+
+    // trie
+    patterns.zipWithIndex.foreach { case ((surf, _), pi) =>
+      var state = 0
+      surf.foreach { c =>
+        state = gotoMaps(state).getOrElseUpdate(c, {
+          gotoMaps += mutable.Map.empty
+          outB += Nil
+          gotoMaps.size - 1
+        })
+      }
+      outB(state) = pi :: outB(state)
+    }
+
+    // fail links (BFS)
+    val fail = Array.fill(gotoMaps.size)(0)
+    val queue = mutable.Queue.empty[Int]
+    gotoMaps(0).values.foreach(queue.enqueue)
+    while (queue.nonEmpty) {
+      val r = queue.dequeue()
+      gotoMaps(r).foreach { case (c, s) =>
+        queue.enqueue(s)
+        var st = fail(r)
+        while (st != 0 && !gotoMaps(st).contains(c)) st = fail(st)
+        fail(s) = if (s != gotoMaps(st).getOrElse(c, 0)) gotoMaps(st).getOrElse(c, 0) else 0
+        outB(s) = outB(s) ++ outB(fail(s))
+      }
+    }
+
+    new AhoCorasick(patterns, gotoMaps.map(_.toMap).toArray, fail, outB.toArray)
+  }
+}

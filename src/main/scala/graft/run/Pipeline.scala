@@ -1,0 +1,158 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.canon.ConnectedComponents
+import graft.emit.TripleEmitter
+import graft.extract.HtmlText
+import graft.link.Linker
+import graft.mentions.MentionDetector
+import graft.model.Page
+import graft.rules.RuleCompiler
+import graft.spec.TableSpec
+
+/** End-to-end KG construction (the reference's flagship `/convert`
+  * path generalized to web pages — SURVEY.md §3.2):
+  *
+  *   pages → [Stage A: extract fields → mint triples ⊕ detect mentions
+  *   → link → same-as edges]  (narrow, per-page, bucket-resumable)
+  *   → [Stage B: connected components → canonical rewrite → dedup]
+  *   (global, deterministic, re-runnable)
+  *
+  * Scale commitments (SURVEY.md §4.3):
+  *   - Stage A is ONE narrow mega-stage: no shuffle until
+  *     canonicalization. The mapping is pure Column trees (codegen);
+  *     mention detection is a broadcast-trie mapPartitions.
+  *   - Identity never derives from row position: buckets and URIs are
+  *     functions of url/content only, so output is invariant under
+  *     partitioning and parallelism (bench relies on this).
+  *   - Resumability: Stage A materializes triples/edges partitioned by
+  *     `bucket = pmod(xxhash64(url), n)` with a lineage row per bucket;
+  *     a resumed run anti-joins finished buckets and appends. Stage B
+  *     re-runs over all materialized buckets (cheap relative to the
+  *     page scan, and required for cross-bucket components).
+  *   - Skew: min() aggregations in CC and canonical election are
+  *     algebraic, so Spark's partial (map-side) aggregation already
+  *     absorbs hot keys; AQE skew-join splitting is enabled in the
+  *     session for the rewrite joins on skewed subjects.
+  */
+object Pipeline {
+
+  final case class Config(
+      descriptorJson: String,
+      gazetteer: Seq[(String, String)],
+      outDir: Option[String] = None,
+      nBuckets: Int = 64,
+      runId: String = "run-0",
+      linkThreshold: Double = 0.9,
+      trustText: Boolean = true,
+      anchorField: String = "country",
+      maxCcIterations: Int = 25)
+
+  val MENTIONS_P = "http://schema.org/mentions"
+
+  /** Deterministic html→text, applied only where `text` is NULL so the
+    * BINARY html column stays prunable when text is present
+    * (input_hint provides both; SURVEY.md §4.2 row 1).
+    */
+  private val extractUdf =
+    udf((html: Array[Byte]) => if (html == null) null else HtmlText.extract(html))
+
+  def ensureText(pages: Dataset[Page], trustText: Boolean): DataFrame =
+    if (trustText) pages.toDF()
+    else pages.toDF().withColumn("text", coalesce(col("text"), extractUdf(col("html"))))
+
+  /** Stage A on a set of pages: (triples with bucket, sameAs edges with bucket). */
+  def stageA(spark: SparkSession, pages: Dataset[Page], cfg: Config): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val ts = TableSpec.fromJson(cfg.descriptorJson)
+    val withText = ensureText(pages, cfg.trustText)
+    val bucket = TripleEmitter.bucketOf(col("url"), cfg.nBuckets)
+
+    val records = RuleCompiler.extractFields(withText, ts).withColumn("bucket", bucket)
+    val mapped = RuleCompiler.triples(records, ts, ts.graph, passThrough = Seq("bucket"))
+
+    val mentions = MentionDetector.detect(spark, withText.as[Page], cfg.gazetteer)
+    val mentionTriples = mentions.toDF()
+      .select(
+        col("url").as("s"), lit(MENTIONS_P).as("p"), lit("iri").as("o_kind"),
+        col("entity_id").as("o_lex"),
+        lit(null).cast("string").as("o_datatype"), lit(null).cast("string").as("o_lang"),
+        lit(ts.graph).as("g"), TripleEmitter.bucketOf(col("url"), cfg.nBuckets).as("bucket"))
+
+    val subjects = records.select(col("url"),
+      RuleCompiler.subjectColumn(ts).as("subj"), col(cfg.anchorField).as("anchor"))
+    val edges = Linker.sameAsEdges(spark, mentions, subjects, cfg.linkThreshold)
+      .withColumn("bucket", TripleEmitter.bucketOf(col("src"), cfg.nBuckets))
+
+    (mapped.unionByName(mentionTriples), edges)
+  }
+
+  /** Stage B: canonicalize subjects/objects via CC over same-as edges,
+    * then content dedup.
+    */
+  def stageB(spark: SparkSession, triples: DataFrame, edges: DataFrame,
+      maxCcIterations: Int = 25): DataFrame = {
+    val cc = ConnectedComponents.run(spark, edges.select("src", "dst"), maxCcIterations)
+    val cmap = ConnectedComponents.canonicalMap(cc) // (uri, canonical)
+
+    val smap = cmap.withColumnRenamed("uri", "s").withColumnRenamed("canonical", "s_canon")
+    val omap = cmap.withColumnRenamed("uri", "o_lex").withColumnRenamed("canonical", "o_canon")
+
+    val rewritten = triples
+      .join(broadcastIfSmall(smap), Seq("s"), "left")
+      .withColumn("s", coalesce(col("s_canon"), col("s"))).drop("s_canon")
+      .join(broadcastIfSmall(omap), Seq("o_lex"), "left")
+      .withColumn("o_lex",
+        when(col("o_kind") === "iri", coalesce(col("o_canon"), col("o_lex")))
+          .otherwise(col("o_lex")))
+      .drop("o_canon")
+      .select("s", "p", "o_kind", "o_lex", "o_datatype", "o_lang", "g")
+
+    TripleEmitter.dedup(rewritten)
+  }
+
+  /** The canonical map is usually tiny next to the triple table —
+    * broadcast it; at true 100 TB scale AQE decides from runtime stats
+    * (the hint is advisory; Spark falls back to shuffle join above the
+    * broadcast threshold).
+    */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+
+  /** One-shot in-memory run (tests, bench). */
+  def run(spark: SparkSession, pages: Dataset[Page], cfg: Config): DataFrame = {
+    val (triples, edges) = stageA(spark, pages, cfg)
+    stageB(spark, triples.drop("bucket"), edges.drop("bucket"), cfg.maxCcIterations)
+  }
+
+  /** Materializing, bucket-resumable run. Stage A skips buckets whose
+    * lineage row is already committed for this rule-set hash; Stage B
+    * recomputes the global canonical triple set from everything
+    * materialized. Returns the final deduped triples.
+    */
+  def runResumable(spark: SparkSession, pages: Dataset[Page], cfg: Config): DataFrame = {
+    val outDir = cfg.outDir.getOrElse(sys.error("runResumable requires outDir"))
+    val hash = TableSpec.ruleSetHash(cfg.descriptorJson)
+    val done = TripleEmitter.doneBuckets(spark, outDir, hash) // eager snapshot
+
+    val bucket = TripleEmitter.bucketOf(col("url"), cfg.nBuckets)
+    import spark.implicits._
+    val todo =
+      (if (done.isEmpty) pages.toDF()
+       else pages.toDF().filter(!bucket.isin(done.toSeq: _*))).as[Page]
+
+    if (!todo.isEmpty) {
+      val (triples, edges) = stageA(spark, todo, cfg)
+      TripleEmitter.writeStage(spark, triples, outDir, hash, cfg.runId)
+      edges.write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$outDir/edges")
+    }
+
+    val allTriples = spark.read.parquet(s"$outDir/triples").drop("bucket")
+    val edgesDir = new java.io.File(s"$outDir/edges")
+    val allEdges =
+      if (edgesDir.exists()) spark.read.parquet(s"$outDir/edges").select("src", "dst")
+      else spark.emptyDataFrame.select(lit("").as("src"), lit("").as("dst")).limit(0)
+    stageB(spark, allTriples, allEdges, cfg.maxCcIterations)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fixtures.Fixtures
+import graft.run.{Descriptors, Pipeline}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def cfg(outDir: Option[String] = None) = Pipeline.Config(
+    descriptorJson = Descriptors.imfJson,
+    gazetteer = Fixtures.gazetteer,
+    outDir = outDir,
+    nBuckets = 8)
+
+  def toSet(df: DataFrame): Set[(String, String, String, String, String, String, String)] =
+    df.collect().map { r: Row =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getString(6))
+    }.toSet
+
+  test("end-to-end: 64 pages, exact golden set (P=R=1.0, BASELINE.json target)") {
+    val pages = Fixtures.pages(spark, 64, 5)
+    val got = toSet(Pipeline.run(spark, pages, cfg()))
+    val want = TestOracle.expectedAll(64)
+    val missing = want -- got
+    val spurious = got -- want
+    val p = (got.size - spurious.size).toDouble / got.size
+    val r = (want.size - missing.size).toDouble / want.size
+    assert(missing.isEmpty && spurious.isEmpty,
+      s"P=$p R=$r missing=${missing.take(3)} spurious=${spurious.take(3)}")
+  }
+
+  test("extraction path: pipeline output identical when text must come from html") {
+    val pages = Fixtures.pages(spark, 32, 3)
+    val noText = pages.map(p => p.copy(text = null))
+    val a = toSet(Pipeline.run(spark, pages, cfg()))
+    val b = toSet(Pipeline.run(spark, noText, cfg().copy(trustText = false)))
+    assert(a == b)
+  }
+
+  test("parallelism invariance: same triple set at 2 and 23 input partitions") {
+    val a = toSet(Pipeline.run(spark, Fixtures.pages(spark, 100, 2), cfg()))
+    val b = toSet(Pipeline.run(spark, Fixtures.pages(spark, 100, 23), cfg()))
+    assert(a == b)
+  }
+
+  test("resume-from-checkpoint ≡ single-shot (north rule resumability)") {
+    val dir = Files.createTempDirectory("graft-resume").toString
+    val pages = Fixtures.pages(spark, 80, 7)
+    val oneShot = toSet(Pipeline.run(spark, pages, cfg()))
+
+    // simulate an interrupted run: only buckets 0..3 got processed
+    val half = pages.toDF()
+      .filter(pmod(xxhash64(col("url")), lit(8)) < 4).as[graft.model.Page]
+    val c = cfg(Some(dir))
+    Pipeline.runResumable(spark, half, c)
+
+    // resume with the full input: finished buckets must be skipped,
+    // the rest appended, and the final set must equal one-shot
+    val resumed = toSet(Pipeline.runResumable(spark, pages, c.copy(runId = "run-1")))
+    assert(resumed == oneShot)
+
+    // lineage: every bucket committed exactly once per rule-set
+    val lin = spark.read.parquet(s"$dir/lineage")
+    val dup = lin.groupBy("bucket", "rule_set_hash").count().filter($"count" > 1).count()
+    assert(dup == 0, "bucket re-committed on resume")
+
+    // idempotence: a third run has nothing to do and returns the same set
+    val again = toSet(Pipeline.runResumable(spark, pages, c.copy(runId = "run-2")))
+    assert(again == oneShot)
+  }
+
+  test("dedup: duplicating the input does not duplicate triples") {
+    val pages = Fixtures.pages(spark, 20, 3)
+    val doubled = pages.union(pages)
+    val a = toSet(Pipeline.run(spark, pages, cfg()))
+    val b = toSet(Pipeline.run(spark, doubled, cfg()))
+    assert(a == b)
+  }
+}
