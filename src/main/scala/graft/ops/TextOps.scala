@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language-ID, document
+  * fingerprinting. Everything is built-in `Column` trees (whole-stage
+  * codegen, no UDFs) so the operators pipeline with the parquet scan in
+  * ONE narrow stage — at 100 TB these run at scan speed with zero
+  * shuffle (the only shuffles in this file's callers are the explicit
+  * groupBys of the dedup/aggregation consumers).
+  *
+  * Counting-style outputs are kept as exact integers (not float ratios)
+  * so results are bit-reproducible across engines and partitionings —
+  * the same lexical-form discipline the KG side uses (SURVEY.md §1.2).
+  */
+object TextOps {
+
+  /** Whitespace tokenizer — `\S+` runs, the BPE-ish pre-tokenization
+    * baseline. regexp_extract_all is codegen'd.
+    */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** Per-document token statistics. All counts BIGINT. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct_tokens"),
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long").as("n_alpha_chars"))
+
+  /** Heuristic quality score (Gopher/C4-style cheap filters): doc
+    * length bounds, mean token length bounds, stopword presence.
+    * Decisions are integer arithmetic only (`10*stop >= tokens` instead
+    * of `stop/tokens >= 0.1`) — deterministic under any engine.
+    */
+  def qualityScore(docs: DataFrame,
+      minTokens: Int = 10, maxTokens: Int = 100000): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nStop = size(regexp_extract_all(col("text"),
+      lit("\\b(the|a|of|and|to|in)\\b"), lit(0))).cast("long")
+    val nPunct = size(regexp_extract_all(col("text"),
+      lit("[\\.,;:!\\?]"), lit(0))).cast("long")
+    docs.select(
+      col("doc_id"), nTok.as("n_tokens"), nChars.as("n_chars"),
+      nStop.as("n_stopwords"), nPunct.as("n_punct"))
+      .withColumn("keep",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        // mean token length in [2, 12]: 2*t <= chars-(t-1) <= 12*t
+        (col("n_chars") - col("n_tokens") + 1) >= col("n_tokens") * 2 &&
+        (col("n_chars") - col("n_tokens") + 1) <= col("n_tokens") * 12 &&
+        col("n_stopwords") >= 1)
+  }
+
+  /** Language-ID markers: tiny per-language function-word sets (the
+    * classic n-gram/stopword-voting heuristic, shrunk to be exactly
+    * reproducible in the SQL oracle). Order = deterministic tie-break
+    * priority.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|and|to|in)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une)\\b",
+    "es" -> "\\b(el|los|las|es|una|que)\\b",
+    "zh" -> "[\\u4e00-\\u9fff]")
+
+  /** Stopword-voting language ID. Emits per-language hit counts plus
+    * the argmax (ties → marker-list order; all-zero → "und").
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
+      (col("doc_id") +: langMarkers.map { case (l, re) =>
+        size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long").as(s"score_$l")
+      }): _*)
+    val best = langMarkers.map(l => col(s"score_${l._1}")).reduce(greatest(_, _))
+    // when-chain in marker-list order: the FIRST language hitting the
+    // max wins, matching the SQL CASE the oracle uses
+    val pred = langMarkers.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Content fingerprint: md5 over the case/punct-normalized text —
+    * the cheap canonical-form fingerprint used for fuzzy-exact dedup
+    * (whitespace/caps/punct-insensitive).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]+", ""))
+
+  /** Rolling Karp-Rabin hash over tokens (base/mod fixed) — a locality
+    * -preserving fingerprint for shift-tolerant chunk identity. Pure
+    * higher-order-function fold; not SQL-oracle-expressible (rows-only
+    * check). Kept inside [0, 2^31): Spark 4 ANSI mode raises on long
+    * overflow, so the classic wrap-around formulation is off limits.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(
+        acc * lit(1009L) + pmod(xxhash64(t), lit(1048576L)),
+        lit(2147483647L)))
+}

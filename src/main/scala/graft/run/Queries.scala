@@ -1,0 +1,291 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.canon.ConnectedComponents
+import graft.mentions.MentionDetector
+import graft.model.Page
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.rules.RuleCompiler
+import graft.spec.TableSpec
+
+/** The engine's public query surface over the harness testdata
+  * (TESTDATA.md): one function per implemented operator from
+  * SURVEY.md §2 plus the training-data-pipeline operators (dedup,
+  * similarity search, text analysis, multimodal plumbing).
+  *
+  * Determinism rules for oracle parity (the DuckDB cross-check):
+  * money/measure sums go through `floor(x*100)` cents so summation is
+  * exact integer arithmetic in ANY order; similarity scores are
+  * double-accumulated then rounded to 5dp BEFORE any ordering; ranking
+  * always carries an integer tie-break column.
+  */
+object Queries {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Cents-exact measure: floor(x*100) as long — order-independent
+    * exact sums (never sum raw doubles when an oracle must agree).
+    */
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100).cast("long")
+
+  // ================= relational core =================
+
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+        count(lit(1)).as("n"))
+
+  /** Shuffled fact-fact join + broadcast dim join (nation is tiny —
+    * always broadcast; at 100 TB orders⋈customer shuffles on the key
+    * and AQE picks sizes).
+    */
+  def qJoinAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .join(table(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("o_totalprice"))).as("revenue_c"), count(lit(1)).as("n_orders"))
+
+  def qWindowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val j = table(spark, dir, "orders")
+      .join(table(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy("n_name").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    j.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("n_name"), col("rk"), col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+  }
+
+  /** Anti join — the same plan shape as the lineage resume skip
+    * (SURVEY.md §2.2).
+    */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders").filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders").filter(col("o_totalprice") > 490000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+
+  def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_nationkey")).as("n_nations"), count(lit(1)).as("n_cust"))
+
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .rollup(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val part = table(spark, dir, "part")
+    val big = part.filter(col("p_size") > 40).select(col("p_partkey"))
+    val pricey = part.filter(col("p_retailprice") > 980.0).select(col("p_partkey"))
+    val cheap = part.filter(col("p_retailprice") < 905.0).select(col("p_partkey"))
+    big.intersect(pricey).except(cheap)
+  }
+
+  /** Tumbling-window aggregation over the event stream (batch here;
+    * the same `window()` expression drives the Structured Streaming
+    * path).
+    */
+  def qEventsWindow(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+
+  /** Sessionization via gap > 30 min — lag window + conditional sum. */
+  def qEventsSessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    table(spark, dir, "events")
+      // events.ts is TIMESTAMP_NTZ in the parquet; unix_micros wants
+      // an instant — the session is pinned to UTC so the cast is exact
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("ind",
+        when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("ind")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** Two-phase salted aggregation — the explicit skew pattern for hot
+    * keys (event_type is low-cardinality/hot): partial agg on
+    * (key, salt), final agg on key. Result ≡ direct groupBy; the oracle
+    * checks exactly that.
+    */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(cents(col("value"))).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), sum(col("pv")).as("sum_value_c"))
+
+  // ================= KG construction =================
+
+  /** The nation table as descriptor "records" (SURVEY.md §2.1 C2-C7
+    * over a relational source): subject minting, typed literals,
+    * object IRIs, a virtual rdf:type — compiled to one explode stage.
+    */
+  val nationDescriptor: String =
+    """{
+      |  "@base": "http://graft.local/tpch/",
+      |  "aboutUrl": "nation/{name}",
+      |  "graph": "http://graft.local/graph/tpch",
+      |  "tableSchema": { "columns": [
+      |    { "name": "name", "propertyUrl": "schema:name",
+      |      "datatype": "string", "lang": "en" },
+      |    { "name": "nationkey", "propertyUrl": "http://graft.local/def/key",
+      |      "datatype": "xsd:integer" },
+      |    { "name": "regionkey", "propertyUrl": "schema:containedInPlace",
+      |      "valueUrl": "region/{regionkey}" },
+      |    { "name": "type_v", "virtual": true,
+      |      "propertyUrl": "rdf:type", "valueUrl": "schema:Country",
+      |      "aboutUrl": "nation/{name}" }
+      |  ] }
+      |}""".stripMargin
+
+  def kgTriples(spark: SparkSession, dir: String): DataFrame = {
+    val ts = TableSpec.fromJson(nationDescriptor)
+    val records = table(spark, dir, "nation").select(
+      col("n_name").as("name"),
+      col("n_nationkey").as("nationkey"),
+      col("n_regionkey").as("regionkey"))
+    RuleCompiler.triples(records, ts, ts.graph)
+  }
+
+  /** N-Quads serialization of the mapped triples (reference-native
+    * output, src/cattle.py:301).
+    */
+  def kgNqLines(spark: SparkSession, dir: String): DataFrame =
+    kgTriples(spark, dir).select(graft.emit.TripleEmitter.nqLine.as("line"))
+
+  /** documents.parquet re-expressed as the input_hint Page table —
+    * url/warc_ts/html/text/lang, all derived deterministically.
+    */
+  def docsAsPages(spark: SparkSession, dir: String): Dataset[Page] = {
+    import spark.implicits._
+    table(spark, dir, "documents").select(
+      concat(lit("https://ex.test/doc/"), col("doc_id").cast("string")).as("url"),
+      (lit(1500000000L) + col("doc_id")).cast("timestamp").as("warc_ts"),
+      encode(col("text"), "UTF-8").as("html"),
+      col("text"),
+      col("lang")).as[Page]
+  }
+
+  val docGazetteer: Seq[(String, String)] = Seq(
+    "spark" -> "ent:spark", "customer" -> "ent:customer",
+    "vector" -> "ent:vector", "stream" -> "ent:stream")
+
+  /** Broadcast-trie mention detection (Aho-Corasick mapPartitions) +
+    * count aggregation.
+    */
+  def kgMentions(spark: SparkSession, dir: String): DataFrame =
+    MentionDetector.detect(spark, docsAsPages(spark, dir), docGazetteer)
+      .groupBy(col("entity_id"))
+      .agg(countDistinct(col("url")).as("n_docs"), count(lit(1)).as("n_mentions"))
+
+  /** Connected components over a chain graph (customers chained within
+    * each nation) — exercises multi-iteration label propagation +
+    * pointer jumping; canonical = min member, checked by a window
+    * oracle.
+    */
+  def kgCanonical(spark: SparkSession, dir: String): DataFrame = {
+    def uri(c: org.apache.spark.sql.Column) =
+      concat(lit("u:"), lpad(c.cast("string"), 10, "0"))
+    val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    val edges = table(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"),
+        lag(col("c_custkey"), 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .select(uri(col("prev")).as("src"), uri(col("c_custkey")).as("dst"))
+    ConnectedComponents.run(spark, edges)
+      .select(col("node"), col("comp").as("canonical"))
+  }
+
+  /** Web-page KG descriptor for the documents corpus. */
+  val webDescriptor: String =
+    """{
+      |  "@base": "http://graft.local/web/",
+      |  "aboutUrl": "{+url}",
+      |  "graph": "http://graft.local/graph/web",
+      |  "extractors": { "w1": "^(\\S+)" },
+      |  "tableSchema": { "columns": [
+      |    { "name": "lang", "propertyUrl": "dc:language", "datatype": "string" },
+      |    { "name": "w1", "propertyUrl": "http://graft.local/def/firstToken" },
+      |    { "name": "type_v", "virtual": true,
+      |      "propertyUrl": "rdf:type", "valueUrl": "schema:WebPage" }
+      |  ] }
+      |}""".stripMargin
+
+  /** The flagship end-to-end pipeline (extract → map → mentions → link
+    * → CC canonicalize → dedup) over the documents corpus, fully
+    * cross-checked by an independent SQL oracle.
+    */
+  def kgPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = Pipeline.Config(
+      descriptorJson = webDescriptor,
+      gazetteer = docGazetteer,
+      anchorField = "w1",
+      linkThreshold = 0.9)
+    Pipeline.run(spark, docsAsPages(spark, dir), cfg)
+  }
+
+  // ================= training-data ops =================
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenStats(table(spark, dir, "documents"))
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScore(table(spark, dir, "documents"))
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langId(table(spark, dir, "documents"))
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(table(spark, dir, "documents"))
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(table(spark, dir, "documents"), n = 3, tau = 0.12)
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(table(spark, dir, "documents"), n = 3, tau = 0.12)
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(table(spark, dir, "documents"), maxHamming = 8)
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(table(spark, dir, "embeddings"), tau = 0.35)
+
+  def simAnnTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  def mmDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(spark,
+      table(spark, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))).toDF()
+}
