@@ -61,10 +61,21 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
       maxDf: Long = Long.MaxValue): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // typed shingling + persist: the shingle sets feed both sides of
+    // the posting self-join (see minhashLshPairs for the HOF rationale)
     val sh = docs
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .withColumn("sz", size(col("sh")).cast("long"))
-      .filter(col("sz") > 0)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val s = shingleSet(text, n)
+          if (s.isEmpty) None else Some((id, s, s.length.toLong))
+        }
+      }
+      .toDF("doc_id", "sh", "sz")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posting = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
     val keep = posting.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
@@ -84,33 +95,93 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
-  /** MinHash signature as a Column: numHashes independent seeded
-    * rehashes min'd over the shingle set — the i-th hash family member
-    * is xxhash64(shingle, i), which avoids affine a*h+b arithmetic
-    * entirely (Spark 4 ANSI mode makes long overflow an error, and
-    * wrap-around is exactly what an affine rehash relies on). All
-    * higher-order built-ins — one narrow projection, no UDF, no
-    * shuffle.
+  // Deterministic 64-bit string hashing for signatures (driver- and
+  // executor-side plain Scala; signature values are internal to the
+  // LSH blocking so the family only needs to be deterministic and
+  // well-mixed, not to match any engine builtin).
+
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Distinct word n-gram shingles — executor-side twin of
+    * [[shingles]] (same `\s+` tokenization).
     */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+  def shingleSet(text: String, n: Int): Array[String] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Array.empty
+    else {
+      val set = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + n <= toks.length) { set += toks.slice(i, i + n).mkString(" "); i += 1 }
+      set.toArray
+    }
+  }
+
+  /** MinHash signature of a shingle set: numHashes seeded rehashes,
+    * h_i(s) = splitmix64(fnv64(s) ^ seed_i), min over the set.
+    */
+  def minhashSig(sh: Array[String], seeds: Array[Long]): Array[Long] = {
+    val sig = Array.fill(seeds.length)(Long.MaxValue)
+    var k = 0
+    while (k < sh.length) {
+      val h = fnv64(sh(k))
+      var j = 0
+      while (j < seeds.length) {
+        val v = splitmix64(h ^ seeds(j))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      k += 1
+    }
+    sig
+  }
 
   /** MinHash/LSH near-dup pairs: band the signature, self-join on
     * (band, bucket), verify candidates with EXACT Jaccard over the
     * shingle sets (LSH only prunes; it never asserts).
     *
-    * numHashes = bands * rowsPerBand. With (16 bands × 8 rows) the
-    * collision probability at J=0.8 is ~0.93, at J=0.3 is ~0.001 —
+    * Signatures are computed in a typed mapPartitions, NOT as
+    * higher-order Column functions: Spark evaluates HOF lambdas
+    * interpreted (never whole-stage-codegen'd), which measured ~6x
+    * slower than tight JVM loops here — same trade the Aho-Corasick
+    * mention detector makes (SURVEY.md §2.2 UDF row). The signature
+    * frame is persisted: it feeds the band self-join (both sides) and
+    * the verify joins — at production scale this is the materialized
+    * signature table.
+    *
+    * numHashes = bands * rowsPerBand. With (16 bands × 4 rows) the
+    * collision probability at J=0.8 is ~0.9997, at J=0.2 is ~0.025 —
     * the classic S-curve.
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val numHashes = bands * rowsPerBand
+    val seeds = Array.tabulate(numHashes)(i => splitmix64(0x5eed0000L + i))
     val sh = docs
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val set = shingleSet(text, n)
+          if (set.isEmpty) None
+          else Some((id, set, minhashSig(set, seeds)))
+        }
+      }
+      .toDF("doc_id", "sh", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
@@ -135,25 +206,25 @@ object Dedup {
 
   // ---------- SimHash ----------
 
-  /** 64-bit SimHash over the distinct token set: per bit, sum ±1 votes
-    * from each token's xxhash64, take the sign. Pure higher-order
-    * Column fold (zip_with accumulator over 64 lanes).
+  /** 64-bit SimHash of a text: per bit, sum ±1 votes from each distinct
+    * token's hash, take the sign. Plain Scala (see minhashLshPairs for
+    * why signature math is not a Column tree).
     */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(TextOps.tokens(text))
-    val lanes = sequence(lit(0), lit(63))
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, lanes, (a, j) =>
-          a + when(call_function("shiftrightunsigned", h, j).bitwiseAND(lit(1L)) === 1L,
-            lit(1L)).otherwise(lit(-1L)))
-      })
-    aggregate(lanes, lit(0L), (acc, j) =>
-      when(element_at(votes, j.cast("int") + lit(1)) > 0,
-        acc.bitwiseOR(call_function("shiftleft", lit(1L), j))).otherwise(acc))
+  def simhashOf(text: String): Long = {
+    val votes = new Array[Int](64)
+    val seen = new scala.collection.mutable.HashSet[String]
+    for (t <- text.split("\\s+") if t.nonEmpty && seen.add(t)) {
+      val h = splitmix64(fnv64(t))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
   }
 
   /** SimHash near-dup pairs within Hamming distance maxHamming (≤ 3
@@ -161,7 +232,14 @@ object Dedup {
     * verify with bit_count(xor).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // persist: sig is consumed by both sides of the chunk self-join
+    val sigs = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(it => it.map { case (id, text) => (id, simhashOf(text)) })
+      .toDF("doc_id", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("doc_id"), col("sig"),
         explode(transform(sequence(lit(0), lit(3)), c => struct(c.as("chunk"),
           call_function("shiftrightunsigned", col("sig"), c * lit(16))
@@ -188,17 +266,42 @@ object Dedup {
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
   }
 
+  /** Executor-side cosine — identical accumulation order to [[cosine]]
+    * (sequential double folds) so results agree bitwise.
+    */
+  def cosineOf(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  /** HALF_UP decimal rounding — matches Spark's `round` expression. */
+  def round5(x: Double): Double =
+    BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Embedding-cosine near-dup pairs, blocked by a coarse key (here:
     * the `label` column stands in for the LSH/IVF bucket a production
     * run would block on) so the self-join is per-block, not global.
+    * Pair scoring runs in a typed map (tight JVM loop — the pair count
+    * is quadratic per block, the one place scoring cost multiplies).
     */
   def embeddingNearDupPairs(emb: DataFrame, tau: Double = 0.95,
       blockCol: String = "label"): DataFrame = {
-    val e = emb.select(col("vec_id"), col(blockCol).as("blk"), col("embedding"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col("vec_id").cast("long"), col(blockCol).as("blk"), col("embedding"))
     e.as("a").join(e.as("b"),
         col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", round(cosine(col("a.embedding"), col("b.embedding")), 5))
-      .filter(col("sim") >= tau)
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("sim"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.embedding").as("va"), col("b.embedding").as("vb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(it => it.flatMap { case (ia, ib, va, vb) =>
+        val sim = round5(cosineOf(va, vb))
+        if (sim >= tau) Some((ia, ib, sim)) else None
+      })
+      .toDF("id_a", "id_b", "sim")
   }
 }

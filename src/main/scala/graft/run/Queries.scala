@@ -269,7 +269,7 @@ object Queries {
     Dedup.minhashLshPairs(table(spark, dir, "documents"), n = 3, tau = 0.12)
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(table(spark, dir, "documents"), maxHamming = 8)
+    Dedup.simhashPairs(table(spark, dir, "documents"), maxHamming = 3)
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(table(spark, dir, "embeddings"), tau = 0.35)
@@ -281,7 +281,11 @@ object Queries {
 
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    // bits sized to the corpus: 2^4 buckets × 8 tables over O(10³-10⁴)
+    // vectors keeps per-bucket candidate lists small while recall
+    // stays high (more corpus → raise bits, not tables)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+      tables = 8, bits = 4)
   }
 
   def mmDecode(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Specs for the training-data operators (dedup family, similarity
+  * search, text analysis, multimodal plumbing).
+  */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  // ---------- shingling ----------
+
+  test("shingleSet: distinct word n-grams; short text empty") {
+    assert(Dedup.shingleSet("a b c d", 3).toSeq == Seq("a b c", "b c d"))
+    assert(Dedup.shingleSet("a b", 3).isEmpty)
+    assert(Dedup.shingleSet("x y x y x y", 2).toSeq.sorted == Seq("x y", "y x"))
+    // Column twin agrees
+    val viaCol = docs((1L, "a b c d"))
+      .select(Dedup.shingles(col("text"), 3)).as[Seq[String]].head()
+    assert(viaCol == Dedup.shingleSet("a b c d", 3).toSeq)
+  }
+
+  // ---------- exact + fuzzy dedup ----------
+
+  test("exact dedup keeps min doc_id per identical text") {
+    val out = Dedup.exact(docs((3L, "x"), (1L, "x"), (2L, "y")))
+      .select("keep_id", "group_size").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("ngram Jaccard finds the planted near-dup pair with the right score") {
+    val a = "the quick brown fox jumps over the lazy dog tonight"
+    val b = "the quick brown fox jumps over the lazy dog today"
+    val c = "completely different words appear in this one text here"
+    val out = Dedup.ngramJaccardPairs(docs((1L, a), (2L, b), (3L, c)), n = 3, tau = 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1)
+    val (ia, ib, j) = out.head
+    assert((ia, ib) == (1L, 2L))
+    // 10 tokens -> 8 shingles each, 7 shared: J = 7/9
+    assert(j == Dedup.round5(7.0 / 9.0))
+  }
+
+  test("minhash LSH recovers exactly the same pairs as exact Jaccard here") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = Seq(
+      1L -> base,
+      2L -> (base + " extra"),                       // near-dup of 1
+      3L -> base.split(" ").reverse.mkString(" "),   // same tokens, different shingles
+      4L -> "unrelated content entirely different words no overlap at all")
+    val exact = Dedup.ngramJaccardPairs(docs(rows: _*), n = 3, tau = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs(rows: _*), n = 3, tau = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L)))
+    assert(lsh == exact) // J=8/9 collides in some band w.h.p. (16 bands x 4 rows)
+  }
+
+  test("simhash: identical texts collide, near-identical are close, sig deterministic") {
+    val a = "one two three four five six seven eight nine ten"
+    val b = "one two three four five six seven eight nine eleven"
+    assert(Dedup.simhashOf(a) == Dedup.simhashOf(a))
+    val ham = java.lang.Long.bitCount(Dedup.simhashOf(a) ^ Dedup.simhashOf(b))
+    assert(ham < 20, s"near-identical docs should be close, got $ham")
+    val pairs = Dedup.simhashPairs(docs((1L, a), (2L, a), (3L, "zzz yyy xxx www vvv")),
+      maxHamming = 3).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("dedup output is invariant under input partitioning") {
+    val rows = (0L until 40L).map(i => i -> s"token${i % 7} alpha beta gamma delta tok${i % 3} x y z w")
+    def run(parts: Int) = Dedup.minhashLshPairs(
+      spark.createDataset(rows).repartition(parts).toDF("doc_id", "text"), tau = 0.2)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(run(1) == run(13))
+  }
+
+  // ---------- embeddings ----------
+
+  test("cosineOf: identity, orthogonality, symmetry") {
+    val u = Array(1f, 0f, 0f)
+    val v = Array(0f, 1f, 0f)
+    val w = Array(3f, 4f, 0f)
+    assert(Dedup.cosineOf(u, u) == 1.0)
+    assert(Dedup.cosineOf(u, v) == 0.0)
+    assert(math.abs(Dedup.cosineOf(u, w) - 0.6) < 1e-12)
+    // Column twin agrees bitwise (same sequential fold)
+    val viaCol = Seq((u.toSeq, w.toSeq)).toDF("a", "b")
+      .select(Dedup.cosine(col("a"), col("b"))).as[Double].head()
+    assert(viaCol == Dedup.cosineOf(u, w))
+  }
+
+  test("embedding near-dup pairs respect the block and threshold") {
+    val e = Seq(
+      (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(1f, 0.01f)), // same block, sim ~1
+      (3L, 1, Seq(1f, 0f)),                          // near-dup of 1 but other block
+      (4L, 0, Seq(0f, 1f))                           // same block, orthogonal
+    ).toDF("vec_id", "label", "embedding")
+    val out = Dedup.embeddingNearDupPairs(e, tau = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    // unit vectors at increasing angles from the query
+    def at(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val emb = Seq((0L, at(0)), (1L, at(10)), (2L, at(20)), (3L, at(30)), (4L, at(170)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0), k = 3)
+      .orderBy("rk").select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
+  test("LSH top-k is a subset of brute force and finds the nearest at these sizes") {
+    def at(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val emb = (0 until 50).map(i => (i.toLong, at(i * 7.0))).toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 2)
+    val bf = Similarity.bruteForceTopK(emb, q, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, q, 3, tables = 8, bits = 3, dim = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty && lsh.subsetOf(bf.union(lsh))) // sound candidates
+    // every returned neighbor really is a top candidate: recall vs bf
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall $recall too low for 2-D sign LSH with 8 tables")
+  }
+
+  // ---------- text analysis ----------
+
+  test("token stats + quality keep logic") {
+    val good = "the quick brown fox jumps over a lazy dog near the river bank today"
+    val short = "the a"
+    val noStop = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val out = TextOps.qualityScore(docs((1L, good), (2L, short), (3L, noStop)))
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && !out(2L) && !out(3L))
+    val stats = TextOps.tokenStats(docs((1L, "aa bb aa")))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(stats == ((1L, 8L, 3L, 2L, 6L))) // chars, tokens, distinct, alpha
+  }
+
+  test("langId votes stopword markers, ties break by priority, und on zero") {
+    val rows = docs(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze ist nicht hier"),
+      (3L, "le chat et la maison est une belle"),
+      (4L, "xyzzy plugh"),
+      (5L, "中文文本"))
+    val out = TextOps.langId(rows).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und", 5L -> "zh"))
+  }
+
+  test("fingerprint is case/punct/whitespace-insensitive; rollingHash deterministic and bounded") {
+    val fps = docs((1L, "Hello, World!"), (2L, "hello world"), (3L, "different"))
+      .select(TextOps.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+    val rh = docs((1L, "a b c"), (2L, "a b c"), (3L, "c b a"))
+      .select(TextOps.rollingHash(col("text"))).as[Long].collect()
+    assert(rh(0) == rh(1) && rh(0) != rh(2))
+    assert(rh.forall(h => h >= 0 && h < 2147483647L))
+  }
+
+  // ---------- multimodal ----------
+
+  test("multimodal decode stub: metadata from binary payloads, nulls ok") {
+    val media = Seq((1L, "hello world"), (2L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    val out = Multimodal.decodeMeta(spark, media).collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).n_bytes == 11L && out(1L).ok)
+    assert(out(1L).width == 16 + 11 % 64 && out(1L).n_frames == 1 + 11 % 8)
+    assert(out(2L).n_bytes == 0L && !out(2L).ok)
+  }
+}
