@@ -37,6 +37,7 @@ object SparkEntry {
     // KG construction (SURVEY.md §2.1)
     "kg_triples" -> (Queries.kgTriples _),
     "kg_nq_lines" -> (Queries.kgNqLines _),
+    "kg_turtle_blocks" -> (Queries.kgTurtleBlocks _),
     "kg_mentions" -> (Queries.kgMentions _),
     "kg_canonical" -> (Queries.kgCanonical _),
     "kg_pipeline" -> (Queries.kgPipeline _),
@@ -184,6 +185,31 @@ object SparkEntry {
         |              ELSE '' END
         |  END || ' <http://graft.local/graph/tpch> .' AS line
         |FROM t""".stripMargin,
+
+    "kg_turtle_blocks" ->
+      """WITH t AS (
+        |  SELECT 'http://graft.local/tpch/nation/' || n_name AS s,
+        |    'http://schema.org/name' AS p,
+        |    '"' || n_name || '"@en' AS obj, n_name AS olex FROM nation
+        |  UNION ALL
+        |  SELECT 'http://graft.local/tpch/nation/' || n_name,
+        |    'http://graft.local/def/key',
+        |    '"' || CAST(n_nationkey AS VARCHAR) ||
+        |    '"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        |    CAST(n_nationkey AS VARCHAR) FROM nation
+        |  UNION ALL
+        |  SELECT 'http://graft.local/tpch/nation/' || n_name,
+        |    'http://schema.org/containedInPlace',
+        |    '<http://graft.local/tpch/region/' || CAST(n_regionkey AS VARCHAR) || '>',
+        |    'http://graft.local/tpch/region/' || CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL
+        |  SELECT 'http://graft.local/tpch/nation/' || n_name,
+        |    'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+        |    '<http://schema.org/Country>', 'http://schema.org/Country' FROM nation)
+        |SELECT '<' || s || '>' || chr(10) || '    ' ||
+        |  string_agg('<' || p || '> ' || obj,
+        |    ' ;' || chr(10) || '    ' ORDER BY p, olex) || ' .' AS block
+        |FROM t GROUP BY s""".stripMargin,
 
     "kg_mentions" ->
       """WITH m AS (

@@ -27,19 +27,78 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge-count threshold below which CC runs as driver-side
+    * union-find — the graph analogue of a broadcast join: when the
+    * DISTINCT same-as edge set (not the page corpus!) fits on the
+    * driver, the iterative shuffle loop's per-round scheduling cost
+    * dwarfs the actual work. Real web same-as graphs are sparse
+    * relative to the corpus; above the threshold the distributed loop
+    * takes over.
+    */
+  val localEdgeThreshold: Long = 2000000L
+
+  /** Exact min-label union-find (union-to-min keeps every root the
+    * lexicographically smallest member, so results are identical to
+    * the distributed loop).
+    */
+  def localCC(pairs: Iterator[(String, String)]): Iterator[(String, String)] = {
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- pairs) {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+      parent.getOrElseUpdate(ra, ra); parent.getOrElseUpdate(rb, rb)
+    }
+    val nodes = parent.keys.toArray
+    nodes.iterator.map(n => n -> find(n))
+  }
+
   /** @param edges DataFrame with string columns (src, dst)
     * @return DataFrame (node, component) — component = min URI in the
     *         node's connected component
     */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25,
+      localThreshold: Long = localEdgeThreshold): DataFrame = {
+    import spark.implicits._
+    // checkpoint the distinct edge set ONCE: everything downstream
+    // re-reads it, and without truncation each action would re-execute
+    // the full upstream lineage (pages scan -> mention detection ->
+    // linking) — measured as the dominant serial cost
+    val e0 = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .localCheckpoint(true)
+
+    if (e0.count() <= localThreshold) {
+      val pairs = e0.as[(String, String)].collect()
+      return localCC(pairs.iterator).toSeq.toDF("node", "comp")
+    }
+
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
 
     val nodes = sym.select(col("src").as("node")).distinct()
 
+    // labels only ever decrease, so any change flips the hash-sum; one
+    // aggregate per round (previous round's hash is remembered, not
+    // recomputed), no label collect (decimal sum: exact, no ANSI
+    // long-overflow at any row count that fits 38 digits)
+    def hsum(df: DataFrame) = df
+      .agg(sum(xxhash64(col("node"), col("comp")).cast("decimal(20,0)")))
+      .first().getDecimal(0)
+
     var comp = nodes.withColumn("comp", col("node")).localCheckpoint(true)
+    var prevHash = hsum(comp)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -51,20 +110,18 @@ object ConnectedComponents {
       val propagated = comp.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-      // pointer jump: comp''(u) = comp'(comp'(u))
-      val jumped = propagated.as("a")
-        .join(propagated.select(col("node").as("jn"), col("comp").as("jc")).as("b"),
+      // double pointer jump: comp -> comp² -> comp⁴ per round (two
+      // joins; ~path-quartering, so round count ~log₄(diameter)). The
+      // second jump reuses the first's exchange within one action.
+      def jump(m: DataFrame): DataFrame = m.as("a")
+        .join(m.select(col("node").as("jn"), col("comp").as("jc")).as("b"),
           col("a.comp") === col("b.jn"), "left")
         .select(col("a.node").as("node"), coalesce(col("jc"), col("a.comp")).as("comp"))
-        .localCheckpoint(true)
+      val jumped = jump(jump(propagated)).localCheckpoint(true)
 
-      // labels only ever decrease, so any change flips the hash-sum;
-      // a single aggregate, no label collect (decimal sum: no ANSI
-      // long-overflow, exact at any row count that fits 38 digits)
-      def hsum(df: DataFrame) = df
-        .agg(sum(xxhash64(col("node"), col("comp")).cast("decimal(20,0)")))
-        .first().getDecimal(0)
-      done = hsum(jumped) == hsum(comp)
+      val h = hsum(jumped)
+      done = h == prevHash
+      prevHash = h
       comp = jumped
       iter += 1
     }

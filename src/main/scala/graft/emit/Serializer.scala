@@ -1,0 +1,289 @@
+package graft.emit
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** RDF re-serialization (reference K2/K4: 9 output serializations with
+  * extension + MIME tables at src/cattle.py:45-63, format picker in
+  * src/templates/download_page.html; negotiation at :312-328).
+  *
+  * Scale split (SURVEY.md §2.1 K2):
+  *  - line-oriented formats (nquads, ntriples) are DISTRIBUTED text
+  *    sinks — pure Column string assembly, any size;
+  *  - grouped text formats (turtle, trig, n3) are distributed via
+  *    `repartitionByRange(s)` + `sortWithinPartitions` + a
+  *    mapPartitions grouping serializer: each partition emits
+  *    self-contained subject (turtle) / graph (trig) blocks, so part
+  *    files concatenate into one valid document (TriG permits repeated
+  *    graph labels; Turtle permits repeated subjects across blocks);
+  *  - document formats (json-ld, rdf/xml, trix) require enclosing
+  *    structure, so they serialize DRIVER-SIDE and are guarded by a
+  *    row limit — the reference collects the whole graph in one
+  *    process for EVERY export (src/cattle.py:307-311); we only do it
+  *    where the format forces it, and refuse above the guard instead
+  *    of OOMing silently.
+  */
+object Serializer {
+
+  /** extension/MIME negotiation table — mirrors the reference's
+    * ACCEPTED_TYPES/ACCEPTED_EXTENSIONS (src/cattle.py:40-63).
+    */
+  val formats: Map[String, String] = Map(
+    "nquads" -> "application/n-quads",
+    "nt" -> "application/n-triples",
+    "turtle" -> "text/turtle",
+    "n3" -> "text/n3",
+    "trig" -> "application/trig",
+    "json-ld" -> "application/ld+json",
+    "xml" -> "application/rdf+xml",
+    "pretty-xml" -> "application/rdf+xml",
+    "trix" -> "application/trix")
+
+  def formatFor(accept: String): Option[String] =
+    formats.collectFirst { case (f, mime) if mime == accept => f }
+
+  // ---------- term rendering (driver+executor scala; mirrors nqLine) ----------
+
+  def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+
+  def renderObject(kind: String, lex: String, dt: String, lang: String): String =
+    if (kind == "iri") s"<$lex>"
+    else {
+      val tag =
+        if (lang != null) s"@$lang"
+        else if (dt != null) s"^^<$dt>"
+        else ""
+      "\"" + escape(lex) + "\"" + tag
+    }
+
+  private def obj(r: Row): String =
+    renderObject(r.getAs[String]("o_kind"), r.getAs[String]("o_lex"),
+      r.getAs[String]("o_datatype"), r.getAs[String]("o_lang"))
+
+  // ---------- distributed sinks ----------
+
+  /** N-Triples: drop the graph, distinct, distributed text write. */
+  def writeNt(triples: DataFrame, path: String, gzip: Boolean = false): Unit = {
+    val line = concat(
+      lit("<"), col("s"), lit("> <"), col("p"), lit("> "),
+      when(col("o_kind") === "iri", concat(lit("<"), col("o_lex"), lit(">")))
+        .otherwise(concat(
+          lit("\""), TripleEmitter.nqEscape(col("o_lex")), lit("\""),
+          when(col("o_lang").isNotNull, concat(lit("@"), col("o_lang")))
+            .otherwise(when(col("o_datatype").isNotNull,
+              concat(lit("^^<"), col("o_datatype"), lit(">"))).otherwise(lit(""))))),
+      lit(" ."))
+    val w = triples.dropDuplicates("s", "p", "o_kind", "o_lex", "o_datatype", "o_lang")
+      .select(line.as("value")).write.mode(SaveMode.Overwrite)
+    (if (gzip) w.option("compression", "gzip") else w).text(path)
+  }
+
+  /** Turtle (and N3, a superset): subject-grouped blocks. Range
+    * partition on subject so each subject's triples land in ONE
+    * partition; sort within; stream-group in a mapPartitions. No
+    * driver materialization at any scale.
+    */
+  def writeTurtle(triples: DataFrame, path: String, gzip: Boolean = false): Unit = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val sorted = triples
+      .dropDuplicates("s", "p", "o_kind", "o_lex", "o_datatype", "o_lang")
+      .select("s", "p", "o_kind", "o_lex", "o_datatype", "o_lang")
+      .repartitionByRange(col("s"))
+      .sortWithinPartitions("s", "p", "o_lex")
+    val blocks = sorted.mapPartitions { it =>
+      new Iterator[String] {
+        private val in = it.buffered
+        def hasNext: Boolean = in.hasNext
+        def next(): String = {
+          val s = in.head.getAs[String]("s")
+          val sb = new StringBuilder(s"<$s>")
+          var first = true
+          while (in.hasNext && in.head.getAs[String]("s") == s) {
+            val r = in.next()
+            sb.append(if (first) "\n    " else " ;\n    ")
+            sb.append(s"<${r.getAs[String]("p")}> ${obj(r)}")
+            first = false
+          }
+          sb.append(" .").toString()
+        }
+      }
+    }
+    val w = blocks.toDF("value").write.mode(SaveMode.Overwrite)
+    (if (gzip) w.option("compression", "gzip") else w).text(path)
+  }
+
+  /** TriG: graph-grouped, subject-sorted blocks; part files
+    * concatenate (TriG allows a graph label to recur).
+    */
+  def writeTrig(triples: DataFrame, path: String, gzip: Boolean = false): Unit = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val sorted = TripleEmitter.dedup(triples)
+      .repartitionByRange(col("g"), col("s"))
+      .sortWithinPartitions("g", "s", "p", "o_lex")
+    val blocks = sorted.mapPartitions { it =>
+      new Iterator[String] {
+        private val in = it.buffered
+        def hasNext: Boolean = in.hasNext
+        def next(): String = {
+          val g = in.head.getAs[String]("g")
+          val sb = new StringBuilder(s"<$g> {\n")
+          while (in.hasNext && in.head.getAs[String]("g") == g) {
+            val r = in.next()
+            sb.append(s"  <${r.getAs[String]("s")}> <${r.getAs[String]("p")}> ${obj(r)} .\n")
+          }
+          sb.append("}").toString()
+        }
+      }
+    }
+    val w = blocks.toDF("value").write.mode(SaveMode.Overwrite)
+    (if (gzip) w.option("compression", "gzip") else w).text(path)
+  }
+
+  // ---------- driver-side document formats (export-sized) ----------
+
+  /** Guard for formats whose enclosing document structure forces a
+    * single-writer serialization.
+    */
+  val driverSideLimit: Long = 5000000L
+
+  private def collectGuarded(triples: DataFrame): Array[Row] = {
+    val rows = TripleEmitter.dedup(triples)
+      .select("s", "p", "o_kind", "o_lex", "o_datatype", "o_lang", "g")
+      .limit((driverSideLimit + 1).toInt).collect()
+    require(rows.length <= driverSideLimit,
+      s"document-format export exceeds $driverSideLimit triples; use nquads/turtle/trig (distributed)")
+    rows
+  }
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  /** RDF/XML: generic rdf:Description blocks (always valid, no QName
+    * splitting games — properties emitted via rdf:predicate reification-
+    * free form using full property IRIs is not possible in RDF/XML, so
+    * split the property IRI at the last #, / or : for the QName).
+    */
+  def toRdfXml(triples: DataFrame): String = {
+    val rows = collectGuarded(triples)
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    sb.append("<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\">\n")
+    for (r <- rows) {
+      val p = r.getAs[String]("p")
+      val cut = math.max(p.lastIndexOf('#'), p.lastIndexOf('/')) + 1
+      val (ns, local) = (p.substring(0, cut), p.substring(cut))
+      sb.append(s"""  <rdf:Description rdf:about="${xmlEscape(r.getAs[String]("s"))}">""").append('\n')
+      if (r.getAs[String]("o_kind") == "iri")
+        sb.append(s"""    <$local xmlns="${xmlEscape(ns)}" rdf:resource="${xmlEscape(r.getAs[String]("o_lex"))}"/>""")
+      else {
+        val dt = Option(r.getAs[String]("o_datatype"))
+          .map(d => s""" rdf:datatype="${xmlEscape(d)}"""").getOrElse("")
+        val lang = Option(r.getAs[String]("o_lang"))
+          .map(l => s""" xml:lang="$l"""").getOrElse("")
+        sb.append(s"""    <$local xmlns="${xmlEscape(ns)}"$dt$lang>${xmlEscape(r.getAs[String]("o_lex"))}</$local>""")
+      }
+      sb.append("\n  </rdf:Description>\n")
+    }
+    sb.append("</rdf:RDF>\n").toString()
+  }
+
+  /** TriX (W3C note): fully regular XML quad encoding. */
+  def toTrix(triples: DataFrame): String = {
+    val rows = collectGuarded(triples)
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    sb.append("<TriX xmlns=\"http://www.w3.org/2004/03/trix/trix-1/\">\n")
+    for ((g, rs) <- rows.groupBy(_.getAs[String]("g")).toSeq.sortBy(_._1)) {
+      sb.append(s"  <graph>\n    <uri>${xmlEscape(g)}</uri>\n")
+      for (r <- rs) {
+        sb.append("    <triple>\n")
+        sb.append(s"      <uri>${xmlEscape(r.getAs[String]("s"))}</uri>\n")
+        sb.append(s"      <uri>${xmlEscape(r.getAs[String]("p"))}</uri>\n")
+        if (r.getAs[String]("o_kind") == "iri")
+          sb.append(s"      <uri>${xmlEscape(r.getAs[String]("o_lex"))}</uri>\n")
+        else {
+          val lex = xmlEscape(r.getAs[String]("o_lex"))
+          (Option(r.getAs[String]("o_lang")), Option(r.getAs[String]("o_datatype"))) match {
+            case (Some(l), _) =>
+              sb.append(s"""      <plainLiteral xml:lang="$l">$lex</plainLiteral>""").append('\n')
+            case (None, Some(d)) =>
+              sb.append(s"""      <typedLiteral datatype="${xmlEscape(d)}">$lex</typedLiteral>""").append('\n')
+            case _ =>
+              sb.append(s"      <plainLiteral>$lex</plainLiteral>\n")
+          }
+        }
+        sb.append("    </triple>\n")
+      }
+      sb.append("  </graph>\n")
+    }
+    sb.append("</TriX>\n").toString()
+  }
+
+  /** JSON-LD (expanded form: array of node objects with @id/@graph). */
+  def toJsonLd(triples: DataFrame): String = {
+    val rows = collectGuarded(triples)
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    def objJson(r: Row): String =
+      if (r.getAs[String]("o_kind") == "iri")
+        s"""{"@id": ${jstr(r.getAs[String]("o_lex"))}}"""
+      else {
+        val v = s""""@value": ${jstr(r.getAs[String]("o_lex"))}"""
+        val extra = (Option(r.getAs[String]("o_lang")), Option(r.getAs[String]("o_datatype"))) match {
+          case (Some(l), _) => s""", "@language": ${jstr(l)}"""
+          case (None, Some(d)) => s""", "@type": ${jstr(d)}"""
+          case _ => ""
+        }
+        s"{$v$extra}"
+      }
+    val graphs = rows.groupBy(_.getAs[String]("g")).toSeq.sortBy(_._1).map { case (g, rs) =>
+      val nodes = rs.groupBy(_.getAs[String]("s")).toSeq.sortBy(_._1).map { case (s, srs) =>
+        val props = srs.groupBy(_.getAs[String]("p")).toSeq.sortBy(_._1).map { case (p, prs) =>
+          s"${jstr(p)}: [${prs.map(objJson).mkString(", ")}]"
+        }
+        s"""{"@id": ${jstr(s)}, ${props.mkString(", ")}}"""
+      }
+      s"""{"@id": ${jstr(g)}, "@graph": [${nodes.mkString(", ")}]}"""
+    }
+    s"[${graphs.mkString(", ")}]"
+  }
+
+  /** Unified entry (reference's negotiation path, src/cattle.py:312-328):
+    * distributed where possible, driver-side where the format forces it.
+    */
+  def write(triples: DataFrame, path: String, format: String, gzip: Boolean = false): Unit =
+    format match {
+      case "nquads" => TripleEmitter.writeNq(TripleEmitter.dedup(triples), path, gzip)
+      case "nt" => writeNt(triples, path, gzip)
+      case "turtle" | "n3" => writeTurtle(triples, path, gzip)
+      case "trig" => writeTrig(triples, path, gzip)
+      case "xml" | "pretty-xml" => writeDriverDoc(toRdfXml(triples), path, gzip)
+      case "trix" => writeDriverDoc(toTrix(triples), path, gzip)
+      case "json-ld" => writeDriverDoc(toJsonLd(triples), path, gzip)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported format '$other' (supported: ${formats.keys.toSeq.sorted.mkString(", ")})")
+    }
+
+  private def writeDriverDoc(doc: String, path: String, gzip: Boolean): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    if (gzip) {
+      val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(p))
+      try out.write(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    } else java.nio.file.Files.write(p, doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}

@@ -131,10 +131,72 @@ object Fixtures {
     )
   }
 
+  private val noHtml = Array.emptyByteArray
+
+  /** pageOf without materializing html — the generator analogue of
+    * parquet column pruning: when the pipeline trusts `text`, a real
+    * scan never deserializes the BINARY html column (SURVEY.md §4.2
+    * row 1), so a bench that generates it anyway measures allocation
+    * the production job wouldn't do.
+    */
+  def pageOfNoHtml(i: Long): Page = {
+    val r = recOf(i)
+    Page(
+      url = r.url,
+      warc_ts = new Timestamp(epoch + i * 1000L),
+      html = noHtml,
+      text = textOf(r),
+      lang = if (i % 2 == 0) "en" else "nl"
+    )
+  }
+
   /** Distributed deterministic page corpus. */
-  def pages(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[Page] = {
+  def pages(spark: SparkSession, n: Long, partitions: Int = 32,
+      withHtml: Boolean = true): Dataset[Page] = {
     import spark.implicits._
-    spark.range(0L, n, 1L, partitions).as[Long].map(pageOf)
+    val f = if (withHtml) pageOf _ else pageOfNoHtml _
+    spark.range(0L, n, 1L, partitions).as[Long].map(f)
+  }
+
+  /** Filler sentences for bench-scale pages: no country names (so the
+    * golden mention/link structure is unchanged), realistic length.
+    */
+  private val fillerPool: IndexedSeq[String] = IndexedSeq(
+    "The measurement was repeated under identical conditions.",
+    "Officials declined to comment on the preliminary figures.",
+    "Analysts expect the trend to continue through the quarter.",
+    "The committee published its findings after a long review.",
+    "Local markets responded slowly to the announcement.",
+    "A spokesperson confirmed the schedule remains unchanged.",
+    "The archive contains records dating back several decades.",
+    "Researchers cautioned against overinterpreting the data.",
+    "The report highlights persistent regional differences.",
+    "Infrastructure investment rose for the third straight year.",
+    "The survey covered households across twelve districts.",
+    "Export volumes recovered after the seasonal slowdown.",
+    "The index is computed from publicly available sources.",
+    "Observers noted a gradual shift in consumption patterns.",
+    "The revised estimate supersedes earlier projections.",
+    "Methodological notes are appended to the main table.")
+
+  /** Bench corpus: the same records wrapped in Common-Crawl-realistic
+    * page text (~`fillerSentences` extra sentences, deterministic per
+    * index). The extraction regexes and mention structure are identical
+    * to [[pages]]; only the surrounding prose grows, as on real pages.
+    */
+  def benchPages(spark: SparkSession, n: Long, partitions: Int = 32,
+      fillerSentences: Int = 24): Dataset[Page] = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, partitions).as[Long].map { i =>
+      val p = pageOfNoHtml(i)
+      val sb = new StringBuilder(p.text)
+      var k = 0
+      while (k < fillerSentences) {
+        sb.append(' ').append(fillerPool(((mix(i * 131L + k) >>> 7) % fillerPool.size).toInt.abs))
+        k += 1
+      }
+      p.copy(text = sb.toString)
+    }
   }
 
   /** F2 gazetteer: surfaces → canonical-candidate entity URIs. The

@@ -9,27 +9,51 @@ import scala.collection.mutable
   * the Spark-first replacement for a mention join (SURVEY.md §4.2:
   * "trie is broadcast as an object, not a join at all").
   *
-  * Classic goto/fail construction. `findAll` emits every occurrence of
-  * every pattern (overlaps included — equivalent to per-pattern
-  * `contains`+offsets, which the DuckDB oracle can check);
-  * `findNonOverlapping` applies leftmost-longest selection (so
-  * "South Korea" beats its suffix "Korea") — the linking-grade mode.
+  * The transition table is FLAT ARRAYS (per-node sorted char[] +
+  * target int[], binary-searched): this loop touches every character
+  * of every page, and the boxed `Map[Char,Int]` formulation profiled
+  * as the single hottest call site in the whole pipeline (HashMap
+  * probe + Char boxing per input char) with enough allocation to put
+  * GC on the critical path at high thread counts. The automaton is
+  * built with maps and frozen into arrays.
+  *
+  * `findAll` emits every occurrence of every pattern (overlaps
+  * included — equivalent to per-pattern `contains`+offsets, which the
+  * DuckDB oracle can check); `findNonOverlapping` applies
+  * leftmost-longest selection (so "South Korea" beats its suffix
+  * "Korea") — the linking-grade mode.
   */
 final class AhoCorasick private (
     val patterns: Array[(String, String)], // (surface, entity_id)
-    gotoMaps: Array[Map[Char, Int]],
+    nodeChars: Array[Array[Char]],  // sorted transition chars per node
+    nodeTargets: Array[Array[Int]], // parallel target states
     fail: Array[Int],
-    out: Array[List[Int]]
+    out: Array[Array[Int]]          // pattern indices emitted at state
 ) extends Serializable {
 
   final case class Hit(begin: Int, end: Int, patternIdx: Int) {
     def surface(pats: Array[(String, String)]): String = pats(patternIdx)._1
   }
 
+  @inline private def goTo(state: Int, c: Char): Int = {
+    val chars = nodeChars(state)
+    var lo = 0
+    var hi = chars.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val mc = chars(mid)
+      if (mc == c) return nodeTargets(state)(mid)
+      else if (mc < c) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
+
   @inline private def step(state0: Int, c: Char): Int = {
     var state = state0
-    while (state != 0 && !gotoMaps(state).contains(c)) state = fail(state)
-    gotoMaps(state).getOrElse(c, 0)
+    var t = goTo(state, c)
+    while (t < 0 && state != 0) { state = fail(state); t = goTo(state, c) }
+    if (t < 0) 0 else t
   }
 
   private def boundaryOk(text: String, b: Int, e: Int): Boolean = {
@@ -45,13 +69,14 @@ final class AhoCorasick private (
     var i = 0
     while (i < text.length) {
       state = step(state, text.charAt(i))
-      var o = out(state)
-      while (o.nonEmpty) {
-        val pi = o.head
+      val o = out(state)
+      var k = 0
+      while (k < o.length) {
+        val pi = o(k)
         val len = patterns(pi)._1.length
         val b = i + 1 - len
         if (!wordBoundary || boundaryOk(text, b, i + 1)) hits += Hit(b, i + 1, pi)
-        o = o.tail
+        k += 1
       }
       i += 1
     }
@@ -68,10 +93,6 @@ final class AhoCorasick private (
     var lastEnd = 0
     for (h <- all) {
       if (h.begin >= lastEnd) { sel += h; lastEnd = h.end }
-      else if (sel.nonEmpty && h.begin < lastEnd && h.end > sel.last.end &&
-        h.begin == sel.last.begin) {
-        // longer match starting at same pos already preferred by sort
-      }
     }
     sel.toList
   }
@@ -112,6 +133,17 @@ object AhoCorasick {
       }
     }
 
-    new AhoCorasick(patterns, gotoMaps.map(_.toMap).toArray, fail, outB.toArray)
+    // freeze into flat sorted arrays (the matching-time representation)
+    val n = gotoMaps.size
+    val nodeChars = new Array[Array[Char]](n)
+    val nodeTargets = new Array[Array[Int]](n)
+    var i = 0
+    while (i < n) {
+      val entries = gotoMaps(i).toArray.sortBy(_._1)
+      nodeChars(i) = entries.map(_._1)
+      nodeTargets(i) = entries.map(_._2)
+      i += 1
+    }
+    new AhoCorasick(patterns, nodeChars, nodeTargets, fail, outB.map(_.toArray).toArray)
   }
 }

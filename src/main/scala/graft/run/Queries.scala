@@ -173,6 +173,40 @@ object Queries {
   def kgNqLines(spark: SparkSession, dir: String): DataFrame =
     kgTriples(spark, dir).select(graft.emit.TripleEmitter.nqLine.as("line"))
 
+  /** Turtle subject-block serialization (K2 grouped serializer:
+    * repartitionByRange + sortWithinPartitions + streaming group) —
+    * one block string per subject, cross-checked by a string_agg
+    * oracle.
+    */
+  def kgTurtleBlocks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sorted = kgTriples(spark, dir)
+      .dropDuplicates("s", "p", "o_kind", "o_lex", "o_datatype", "o_lang")
+      .select("s", "p", "o_kind", "o_lex", "o_datatype", "o_lang")
+      .repartitionByRange(col("s"))
+      .sortWithinPartitions("s", "p", "o_lex")
+    sorted.mapPartitions { it =>
+      val in = it.buffered
+      new Iterator[String] {
+        def hasNext: Boolean = in.hasNext
+        def next(): String = {
+          val s = in.head.getAs[String]("s")
+          val sb = new StringBuilder(s"<$s>")
+          var first = true
+          while (in.hasNext && in.head.getAs[String]("s") == s) {
+            val r = in.next()
+            sb.append(if (first) "\n    " else " ;\n    ")
+            sb.append(s"<${r.getAs[String]("p")}> " + graft.emit.Serializer.renderObject(
+              r.getAs[String]("o_kind"), r.getAs[String]("o_lex"),
+              r.getAs[String]("o_datatype"), r.getAs[String]("o_lang")))
+            first = false
+          }
+          sb.append(" .").toString()
+        }
+      }
+    }.toDF("block")
+  }
+
   /** documents.parquet re-expressed as the input_hint Page table —
     * url/warc_ts/html/text/lang, all derived deterministically.
     */

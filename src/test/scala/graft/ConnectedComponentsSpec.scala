@@ -22,10 +22,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }
   }
 
+  /** Runs BOTH execution paths (driver union-find fast path and the
+    * distributed loop, forced via localThreshold = 0) and asserts they
+    * agree before returning.
+    */
   def runCc(edges: Seq[(String, String)]): Map[String, String] = {
     val df = edges.toDF("src", "dst")
-    ConnectedComponents.run(spark, df)
+    val local = ConnectedComponents.run(spark, df)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = ConnectedComponents.run(spark, df, localThreshold = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local == dist, "local union-find and distributed loop disagree")
+    local
   }
 
   test("fixed shapes: chain, star, bridge, singleton edge (FIXTURES.md F3)") {
@@ -60,8 +68,12 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val edges = (0 until 50).map(i => (f"x${i % 17}%03d", f"x${(i * 7) % 17}%03d"))
     val df1 = edges.toDF("src", "dst").repartition(1)
     val df2 = edges.toDF("src", "dst").repartition(13)
-    val r1 = ConnectedComponents.run(spark, df1).collect().map(r => (r.getString(0), r.getString(1))).toSet
-    val r2 = ConnectedComponents.run(spark, df2).collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(r1 == r2)
+    for (thr <- Seq(0L, 1000000L)) {
+      val r1 = ConnectedComponents.run(spark, df1, localThreshold = thr)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val r2 = ConnectedComponents.run(spark, df2, localThreshold = thr)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(r1 == r2, s"threshold=$thr")
+    }
   }
 }

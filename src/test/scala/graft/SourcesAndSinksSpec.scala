@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.emit.Serializer
+import graft.fixtures.Fixtures
+import graft.rules.RuleCompiler
+import graft.sources.CsvSource
+import graft.spec.{Dialect, TableSpec}
+import graft.streaming.EventStream
+
+/** Specs for the delimited-text source + build-mode inference (S1/S2/
+  * B1/C1), the 9-format serialization matrix (K2/K3/K4) and the
+  * Structured Streaming wrappers.
+  */
+class SourcesAndSinksSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** The reference fixture re-synthesized from Fixtures.imf
+    * (data/imf.csv: `Rank;Country;Int` header, `;` delimiter,
+    * digit-grouped numerics).
+    */
+  def imfCsvPath(): String = {
+    val lines = "Rank;Country;Int" +: Fixtures.imf.map { case (r, c, g) =>
+      s"$r;$c;${Fixtures.grouped(g)}"
+    }
+    val f = Files.createTempFile("imf", ".csv")
+    Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  test("S2: dialect-aware CSV read keeps cells lexical (all strings)") {
+    val df = CsvSource.read(spark, imfCsvPath(), Dialect(delimiter = ";"))
+    assert(df.columns.toSeq == Seq("Rank", "Country", "Int"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(df.count() == 8)
+    val row = df.filter(col("Country") === "Qatar").head()
+    assert(row.getString(2) == "131,063") // grouping preserved, not cast
+  }
+
+  test("B1: build-mode inference detects integer columns incl. digit grouping") {
+    val df = CsvSource.read(spark, imfCsvPath(), Dialect(delimiter = ";"))
+    val json = CsvSource.inferDescriptor(df, "http://graft.local/imf/",
+      dialect = Dialect(delimiter = ";"))
+    val ts = TableSpec.fromJson(json)
+    assert(ts.columns.map(_.name) == Seq("Rank", "Country", "Int"))
+    val byName = ts.columns.map(c => c.name -> c).toMap
+    assert(byName("Rank").datatype.contains("xsd:integer"))
+    assert(byName("Int").datatype.contains("xsd:integer"))
+    assert(byName("Int").transforms == Seq("strip-grouping"))
+    assert(byName("Country").datatype.isEmpty)
+    assert(ts.dialect.delimiter == ";")
+  }
+
+  test("C1 + end-to-end: inferred descriptor converts the csv to triples") {
+    val df = CsvSource.withRowNum(
+      CsvSource.read(spark, imfCsvPath(), Dialect(delimiter = ";")))
+    val ts = TableSpec.fromJson(CsvSource.inferDescriptor(
+      df.drop("_row"), "http://graft.local/imf/"))
+    val triples = RuleCompiler.triples(df, ts, ts.graph)
+    val got = triples.collect()
+    assert(got.length == 24) // 8 rows x 3 columns
+    val qatarRank = got.find(r =>
+      r.getAs[String]("s") == "http://graft.local/imf/row/1" &&
+      r.getAs[String]("p") == "http://graft.local/imf/vocab/Rank").get
+    assert(qatarRank.getAs[String]("o_lex") == "1")
+    val qatarGdp = got.find(r =>
+      r.getAs[String]("s") == "http://graft.local/imf/row/1" &&
+      r.getAs[String]("p") == "http://graft.local/imf/vocab/Int").get
+    assert(qatarGdp.getAs[String]("o_lex") == "131063") // grouping stripped
+    assert(qatarGdp.getAs[String]("o_datatype") ==
+      "http://www.w3.org/2001/XMLSchema#integer")
+  }
+
+  // ---------- serialization matrix ----------
+
+  def sampleTriples() = Seq(
+    ("http://g/s1", "http://g/p1", "literal", "va\"l1", null, "en", "http://g/g1"),
+    ("http://g/s1", "http://g/p2", "iri", "http://g/o1", null, null, "http://g/g1"),
+    ("http://g/s2", "http://g/p1", "literal", "12",
+      "http://www.w3.org/2001/XMLSchema#integer", null, "http://g/g2"),
+    ("http://g/s2", "http://g/p1", "literal", "12",
+      "http://www.w3.org/2001/XMLSchema#integer", null, "http://g/g2") // dup
+  ).toDF("s", "p", "o_kind", "o_lex", "o_datatype", "o_lang", "g")
+
+  def readText(dir: String): Seq[String] =
+    spark.read.text(dir).as[String].collect().toSeq
+
+  test("K2: distributed sinks — nt, turtle, trig group and escape correctly") {
+    val base = Files.createTempDirectory("ser").toString
+    Serializer.write(sampleTriples(), s"$base/nt", "nt")
+    val nt = readText(s"$base/nt")
+    assert(nt.length == 3) // deduped, graph dropped
+    assert(nt.exists(_.contains("\"va\\\"l1\"@en")))
+
+    Serializer.write(sampleTriples(), s"$base/ttl", "turtle")
+    val ttl = readText(s"$base/ttl").mkString("\n")
+    assert(ttl.contains("<http://g/s1>\n    <http://g/p1> \"va\\\"l1\"@en ;\n    <http://g/p2> <http://g/o1> ."))
+    assert(ttl.contains("^^<http://www.w3.org/2001/XMLSchema#integer>"))
+
+    Serializer.write(sampleTriples(), s"$base/trig", "trig")
+    val trig = readText(s"$base/trig").mkString("\n")
+    assert(trig.contains("<http://g/g1> {"))
+    assert(trig.contains("<http://g/g2> {"))
+  }
+
+  test("K2: driver-side document formats are well-formed and complete") {
+    val xml = Serializer.toRdfXml(sampleTriples())
+    assert(xml.startsWith("<?xml"))
+    assert(xml.contains("rdf:about=\"http://g/s1\""))
+    assert(xml.contains("rdf:resource=\"http://g/o1\""))
+    assert(xml.contains("rdf:datatype=\"http://www.w3.org/2001/XMLSchema#integer\""))
+    assert(scala.xml.XML.loadString(xml).label == "RDF")
+
+    val trix = Serializer.toTrix(sampleTriples())
+    assert(scala.xml.XML.loadString(trix).label == "TriX")
+    assert(trix.contains("<uri>http://g/g1</uri>"))
+    assert(trix.contains("xml:lang=\"en\""))
+
+    val jsonld = Serializer.toJsonLd(sampleTriples())
+    assert(jsonld.contains("\"@graph\""))
+    assert(jsonld.contains("\"@language\": \"en\""))
+    assert(jsonld.contains("\"@type\": \"http://www.w3.org/2001/XMLSchema#integer\""))
+    // dedup applied: the duplicate integer triple appears once
+    assert("\"@value\": \"12\"".r.findAllIn(jsonld).length == 1)
+  }
+
+  test("K3/K4: gzip sink + content negotiation table") {
+    val base = Files.createTempDirectory("sergz").toString
+    Serializer.write(sampleTriples(), s"$base/nq", "nquads", gzip = true)
+    val files = new java.io.File(s"$base/nq").listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".gz")))
+    assert(readText(s"$base/nq").length == 3) // spark reads .gz transparently
+    assert(Serializer.formatFor("text/turtle").contains("turtle"))
+    assert(Serializer.formatFor("application/trix").contains("trix"))
+    assert(Serializer.formatFor("nonsense/mime").isEmpty)
+    intercept[IllegalArgumentException] {
+      Serializer.write(sampleTriples(), s"$base/x", "bogus")
+    }
+  }
+
+  // ---------- streaming ----------
+
+  test("streaming: windowed counts over MemoryStream == batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = (0 until 200).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 97000L),
+        (i % 7).toLong, s"type${i % 3}", i * 1.5)
+    }
+    val batch = events.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val expected = EventStream.windowedCounts(batch)
+      .collect().map(_.toSeq).toSet
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val q = EventStream.windowedCounts(
+        stream.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("wincounts")
+      .outputMode(OutputModeHelper.complete).start()
+    try {
+      stream.addData(events.take(120))
+      q.processAllAvailable()
+      stream.addData(events.drop(120))
+      q.processAllAvailable()
+      val got = spark.table("wincounts").collect().map(_.toSeq).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("streaming: stateful sessionization == batch lag-window formulation") {
+    val events = (0 until 300).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + (i / 3) * 1000000L + i), // gaps
+        (i % 5).toLong, "t", 1.0)
+    }
+    val batch = events.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val viaState = EventStream.sessionize(spark, batch, gapSec = 300)
+      .collect().map(u => (u.user_id, u.n_sessions, u.n_events)).toSet
+
+    // independent formulation: lag window (the oracle-checked query shape)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val viaLag = batch
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("ind", when(col("prev").isNull || col("us") - col("prev") > 300000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("ind")).as("s"), count(lit(1)).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaState == viaLag)
+  }
+}
+
+/** OutputMode is sealed behind the streaming package in some builds;
+  * indirection keeps the spec source tidy.
+  */
+object OutputModeHelper {
+  val complete = org.apache.spark.sql.streaming.OutputMode.Complete()
+}
