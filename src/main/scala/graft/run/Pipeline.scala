@@ -126,6 +126,54 @@ object Pipeline {
     stageB(spark, triples.drop("bucket"), edges.drop("bucket"), cfg.maxCcIterations)
   }
 
+  /** Job-level metric counters (M2 — replaces the reference's
+    * log-the-input-size telemetry, src/cattle.py:231, and the absent
+    * monitoring its druid workflow laments, druid.md:27-30). Collected
+    * with ONE aggregate job per materialized table — no accumulator
+    * double-counting under task retries.
+    */
+  final case class RunMetrics(
+      run_id: String,
+      rule_set_hash: String,
+      buckets_done: Long,
+      buckets_skipped: Long,
+      triples_materialized: Long,
+      subjects: Long,
+      edges: Long,
+      triples_out: Long,
+      wall_ms: Long)
+
+  /** runResumable + a metrics row persisted to `outDir/metrics`
+    * (queryable alongside the lineage table — the monitoring story).
+    */
+  def runResumableWithMetrics(spark: SparkSession, pages: Dataset[Page],
+      cfg: Config): (DataFrame, RunMetrics) = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val outDir = cfg.outDir.getOrElse(sys.error("runResumable requires outDir"))
+    val hash = TableSpec.ruleSetHash(cfg.descriptorJson)
+    val skipped = TripleEmitter.doneBuckets(spark, outDir, hash).size
+    val out = runResumable(spark, pages, cfg)
+    val outCount = out.count()
+    val lineage = spark.read.parquet(s"$outDir/lineage")
+      .filter(col("rule_set_hash") === lit(hash))
+      .agg(countDistinct(col("bucket")), sum(col("triples")), sum(col("subjects")))
+      .first()
+    val edgesDir = new java.io.File(s"$outDir/edges")
+    val nEdges =
+      if (edgesDir.exists()) spark.read.parquet(s"$outDir/edges").count() else 0L
+    val m = RunMetrics(cfg.runId, hash,
+      buckets_done = lineage.getLong(0) - skipped,
+      buckets_skipped = skipped.toLong,
+      triples_materialized = lineage.getLong(1),
+      subjects = lineage.getLong(2),
+      edges = nEdges,
+      triples_out = outCount,
+      wall_ms = (System.nanoTime() - t0) / 1000000L)
+    Seq(m).toDS().write.mode(SaveMode.Append).parquet(s"$outDir/metrics")
+    (out, m)
+  }
+
   /** Materializing, bucket-resumable run. Stage A skips buckets whose
     * lineage row is already committed for this rule-set hash; Stage B
     * recomputes the global canonical triple set from everything

@@ -77,6 +77,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == oneShot)
   }
 
+  test("M2 metrics: counters persisted, resume reflected in skip counts") {
+    val dir = Files.createTempDirectory("graft-metrics").toString
+    val pages = Fixtures.pages(spark, 40, 4)
+    val c = cfg(Some(dir))
+    val (out1, m1) = Pipeline.runResumableWithMetrics(spark, pages, c)
+    assert(m1.buckets_skipped == 0 && m1.buckets_done > 0)
+    assert(m1.triples_out == out1.count())
+    assert(m1.triples_materialized >= m1.triples_out) // pre-dedup >= post
+    val (_, m2) = Pipeline.runResumableWithMetrics(spark, pages, c.copy(runId = "r2"))
+    assert(m2.buckets_done == 0 && m2.buckets_skipped == m1.buckets_done)
+    assert(m2.triples_out == m1.triples_out)
+    assert(spark.read.parquet(s"$dir/metrics").count() == 2)
+  }
+
   test("dedup: duplicating the input does not duplicate triples") {
     val pages = Fixtures.pages(spark, 20, 3)
     val doubled = pages.union(pages)
