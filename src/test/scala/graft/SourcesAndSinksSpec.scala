@@ -78,6 +78,19 @@ class SourcesAndSinksSpec extends AnyFunSuite {
       "http://www.w3.org/2001/XMLSchema#integer")
   }
 
+  test("S1 web: PageStore bucketed round-trip + bucket-pruned read") {
+    val dir = Files.createTempDirectory("pagestore").toString + "/pages"
+    val pages = Fixtures.pages(spark, 40, 4)
+    graft.sources.PageStore.write(pages, dir, nBuckets = 8)
+    val back = graft.sources.PageStore.read(spark, dir)
+    assert(back.collect().map(_.url).sorted.toSeq ==
+      pages.collect().map(_.url).sorted.toSeq)
+    val some = graft.sources.PageStore.readBuckets(spark, dir, Seq(0, 1, 2))
+    val expected = pages.toDF()
+      .filter(pmod(xxhash64(col("url")), lit(8)) < 3).count()
+    assert(some.count() == expected && some.count() < 40)
+  }
+
   // ---------- serialization matrix ----------
 
   def sampleTriples() = Seq(
