@@ -50,13 +50,18 @@ object RuleCompiler {
     out.result()
   }
 
-  /** RFC 3986 percent-encoding as a pure built-in Column tree:
-    * url_encode is application/x-www-form-urlencoded, so fix up the
-    * three divergences (space, '*', '~'). Literal `replace`, not
-    * regexp — cheaper and codegen'd. Promote to a custom Expression
-    * only if parity tests ever demand it (SURVEY.md §7.3).
+  /** RFC 3986 percent-encoding. Default: the custom single-pass
+    * codegen Expression [[graft.functions.PctEncode]] (URI minting is
+    * the hot scalar path — SURVEY.md §7.3). [[pctEncodeBuiltin]] keeps
+    * the pure built-in formulation as the parity oracle.
     */
-  def pctEncode(c: Column): Column =
+  def pctEncode(c: Column): Column = graft.functions.PctEncode(c)
+
+  /** Built-in-only twin (url_encode is application/x-www-form-
+    * urlencoded, so fix up the three divergences: space, '*', '~') —
+    * byte-identical to [[pctEncode]], property-checked in the specs.
+    */
+  def pctEncodeBuiltin(c: Column): Column =
     replace(
       replace(
         replace(url_encode(c), lit("+"), lit("%20")),
