@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "sim_ann_topk" -> (Queries.simAnnTopk _),
     "sim_ann_lsh" -> (Queries.simAnnLsh _),
+    "sim_ann_ivf" -> (Queries.simAnnIvf _),
     "mm_decode" -> (Queries.mmDecode _)
   )
 

@@ -68,6 +68,79 @@ object Similarity {
       when(dotp >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** IVF (inverted-file) approximate top-k — the other classic ANN
+    * scale path: k-means-lite centroids (seeded from the lowest ids,
+    * refined by `iters` Lloyd steps, all DataFrame ops), an inverted
+    * index (centroid → vector list) materialized once, and queries
+    * probing only their `nprobe` nearest lists. The index build is
+    * shuffle-bounded by (nLists × dim); the search join touches
+    * ~corpus × nprobe / nLists rows per query instead of the corpus.
+    * Candidates re-rank by exact cosine.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val corp = corpus.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // seed centroids: deterministic (lowest vec_ids), then Lloyd steps
+    var centroids: Array[(Int, Seq[Double])] = corp.orderBy("vec_id").limit(nLists)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble) }
+
+    def assign(df: DataFrame): DataFrame = {
+      // argmin over centroid cosine distance, computed as a when-chain
+      // over the (small, driver-side) centroid set — stays codegen'd
+      val sims = centroids.map { case (cid, c) =>
+        val lits = typedLit(c)
+        val s = Dedup.cosine(col("embedding"), lits)
+        struct(s.as("sim"), lit(cid).as("cid"))
+      }
+      df.withColumn("best", greatest(sims: _*))
+        .withColumn("list_id", col("best.cid")).drop("best")
+    }
+
+    (1 to iters).foreach { _ =>
+      val means = assign(corp)
+        .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("list_id", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("list_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("list_id"), expr("transform(ps, x -> x.m)").as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      // keep any list that emptied out at its previous centroid
+      val byId = means.toMap
+      centroids = centroids.map { case (cid, c) => cid -> byId.getOrElse(cid, c) }
+    }
+
+    val index = assign(corp).select(col("list_id"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+
+    // queries probe their nprobe nearest centroids (struct sort on
+    // (sim, cid), reversed -> deterministic descending order)
+    val qsims = centroids.map { case (cid, c) =>
+      struct(Dedup.cosine(col("q_emb"), typedLit(c)).as("sim"), lit(cid).as("cid"))
+    }
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("lists",
+        slice(reverse(array_sort(array(qsims: _*))), 1, nprobe))
+
+    val out = probes
+      .select(col("query_id"), col("q_emb"),
+        explode(transform(col("lists"), x => x.getField("cid"))).as("list_id"))
+      .join(index, "list_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(Dedup.cosine(col("q_emb"), col("n_emb")), 5))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val res = out.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "sim")
+    res
+  }
+
   /** LSH-bucketed approximate top-k: multi-table sign-hash blocking,
     * exact cosine re-rank within the candidate union.
     * Output: (query_id, rank, neighbor_id, sim) — ranks are per-query

@@ -322,6 +322,12 @@ object Queries {
       tables = 8, bits = 4)
   }
 
+  def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+      nLists = 16, nprobe = 4)
+  }
+
   def mmDecode(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(spark,
       table(spark, dir, "documents")

@@ -135,6 +135,20 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low for 2-D sign LSH with 8 tables")
   }
 
+  test("IVF top-k: sound candidates, decent recall, partitioning-invariant") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    val bf = Similarity.bruteForceTopK(emb, q, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, q, 5, nLists = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall $recall too low at nprobe=4/8 lists")
+    val ivf2 = Similarity.ivfTopK(emb.repartition(13), q, 5, nLists = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf == ivf2, "IVF result changed under repartitioning")
+  }
+
   // ---------- text analysis ----------
 
   test("token stats + quality keep logic") {
