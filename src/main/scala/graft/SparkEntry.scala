@@ -30,6 +30,7 @@ object SparkEntry {
     "q_semi_join" -> (Queries.qSemiJoin _),
     "q_distinct_agg" -> (Queries.qDistinctAgg _),
     "q_rollup" -> (Queries.qRollup _),
+    "q_cube" -> (Queries.qCube _),
     "q_setops" -> (Queries.qSetOps _),
     "q_events_window" -> (Queries.qEventsWindow _),
     "q_events_sessions" -> (Queries.qEventsSessions _),
@@ -109,6 +110,11 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
         |FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
 
     "q_setops" ->
       """SELECT p_partkey FROM part WHERE p_size > 40

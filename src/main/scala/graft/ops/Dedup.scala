@@ -118,6 +118,7 @@ object Dedup {
     * [[shingles]] (same `\s+` tokenization).
     */
   def shingleSet(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
     val toks = text.split("\\s+").filter(_.nonEmpty)
     if (toks.length < n) Array.empty
     else {
@@ -211,6 +212,7 @@ object Dedup {
     * why signature math is not a Column tree).
     */
   def simhashOf(text: String): Long = {
+    if (text == null) return 0L
     val votes = new Array[Int](64)
     val seen = new scala.collection.mutable.HashSet[String]
     for (t <- text.split("\\s+") if t.nonEmpty && seen.add(t)) {

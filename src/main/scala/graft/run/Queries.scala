@@ -89,6 +89,12 @@ object Queries {
       .rollup(col("c_mktsegment"), col("c_nationkey"))
       .agg(count(lit(1)).as("n"))
 
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("sum_price_c"))
+
   def qSetOps(spark: SparkSession, dir: String): DataFrame = {
     val part = table(spark, dir, "part")
     val big = part.filter(col("p_size") > 40).select(col("p_partkey"))

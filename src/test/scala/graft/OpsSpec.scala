@@ -185,6 +185,19 @@ class OpsSpec extends AnyFunSuite {
     assert(rh.forall(h => h >= 0 && h < 2147483647L))
   }
 
+  test("null/empty text tolerance across ops (real corpora have holes)") {
+    val dirty = Seq((1L, "the quick brown fox the end"), (2L, null: String), (3L, ""))
+      .toDF("doc_id", "text")
+    assert(Dedup.shingleSet(null, 3).isEmpty)
+    assert(Dedup.simhashOf(null) == 0L)
+    assert(Dedup.minhashLshPairs(dirty, tau = 0.1).collect() != null)
+    assert(Dedup.ngramJaccardPairs(dirty, tau = 0.1).collect() != null)
+    assert(Dedup.simhashPairs(dirty).count() >= 0)
+    assert(TextOps.tokenStats(dirty).count() == 3)
+    assert(TextOps.qualityScore(dirty).filter(col("keep")).count() == 0) // all fail gates
+    assert(TextOps.langId(dirty).count() == 3)
+  }
+
   // ---------- multimodal ----------
 
   test("multimodal decode stub: metadata from binary payloads, nulls ok") {
