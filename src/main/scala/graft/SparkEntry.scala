@@ -52,6 +52,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
+    "dedup_clusters" -> (Queries.dedupClusters _),
     "sim_ann_topk" -> (Queries.simAnnTopk _),
     "sim_ann_lsh" -> (Queries.simAnnLsh _),
     "sim_ann_ivf" -> (Queries.simAnnIvf _),
@@ -342,6 +343,25 @@ object SparkEntry {
         |SELECT id_a, id_b,
         |  round(CAST(inter AS DOUBLE) / (sa + sb - inter), 5) AS jaccard
         |FROM p WHERE round(CAST(inter AS DOUBLE) / (sa + sb - inter), 5) >= 0.12""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS sa, len(b.s) AS sb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |e AS (SELECT ia, ib FROM p
+        |  WHERE round(CAST(inter AS DOUBLE) / (sa + sb - inter), 5) >= 0.12),
+        |sym AS (SELECT ia AS a, ib AS b FROM e UNION SELECT ib, ia FROM e),
+        |reach(a, b) AS (SELECT a, b FROM sym
+        |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        |mn AS (SELECT a, MIN(b) AS mb FROM reach GROUP BY a)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(LEAST(m.mb, d.doc_id), d.doc_id) AS BIGINT) AS canon_id
+        |FROM documents d LEFT JOIN mn m ON m.a = d.doc_id""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label,

@@ -256,6 +256,24 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup clustering + canonical election: connected components
+    * over the near-dup pair graph (reusing the KG canonicalizer — the
+    * same broadcast-fast-path/distributed-loop machinery), keeping the
+    * smallest doc_id per cluster. Docs in no pair are their own
+    * canonical. Output: (doc_id, canon_id) for every document.
+    */
+  def clusterAndElect(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    // zero-padded labels make lexicographic min == numeric min
+    def uri(c: Column) = lpad(c.cast("string"), 12, "0")
+    val edges = pairs.select(uri(col("id_a")).as("src"), uri(col("id_b")).as("dst"))
+    val cc = graft.canon.ConnectedComponents.run(spark, edges)
+      .select(col("node").cast("long").as("doc_id"),
+        col("comp").cast("long").as("canon"))
+    docs.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("canon"), col("doc_id")).as("canon_id"))
+  }
+
   // ---------- embedding near-dup ----------
 
   /** Cosine similarity of two float-array columns, accumulated in

@@ -311,6 +311,11 @@ object Queries {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(table(spark, dir, "documents"), maxHamming = 3)
 
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    Dedup.clusterAndElect(docs, Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.12))
+  }
+
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(table(spark, dir, "embeddings"), tau = 0.35)
 
