@@ -17,11 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokenizer — `\S+` runs, the BPE-ish pre-tokenization
-    * baseline. regexp_extract_all is codegen'd.
+  /** Whitespace tokenizer — `\S+` runs. regexp_extract_all is
+    * codegen'd.
     */
   def tokens(text: Column): Column =
     regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** BPE-style pre-tokenization (GPT-2-family segmentation, minus the
+    * RE2-incompatible lookahead so the same pattern runs in the SQL
+    * oracle): space-prefixed letter runs, digit runs, punctuation runs.
+    * This is the unit LLM tokenizers subdivide, so its count is the
+    * budget-relevant "token count" for training-data curation.
+    */
+  val bpeRegex = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeRegex), lit(0))
 
   /** Per-document token statistics. All counts BIGINT. */
   def tokenStats(docs: DataFrame): DataFrame =
@@ -30,6 +41,7 @@ object TextOps {
       length(col("text")).cast("long").as("n_chars"),
       size(tokens(col("text"))).cast("long").as("n_tokens"),
       size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct_tokens"),
+      size(bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
       length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long").as("n_alpha_chars"))
 
   /** Heuristic quality score (Gopher/C4-style cheap filters): doc

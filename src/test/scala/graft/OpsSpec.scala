@@ -158,9 +158,10 @@ class OpsSpec extends AnyFunSuite {
     val out = TextOps.qualityScore(docs((1L, good), (2L, short), (3L, noStop)))
       .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
     assert(out(1L) && !out(2L) && !out(3L))
-    val stats = TextOps.tokenStats(docs((1L, "aa bb aa")))
-      .as[(Long, Long, Long, Long, Long)].head()
-    assert(stats == ((1L, 8L, 3L, 2L, 6L))) // chars, tokens, distinct, alpha
+    val stats = TextOps.tokenStats(docs((1L, "aa bb-cc aa")))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // chars, ws-tokens, distinct(aa,bb-cc), bpe(aa/ bb/-/cc/ aa), alpha
+    assert(stats == ((1L, 11L, 3L, 2L, 5L, 8L)))
   }
 
   test("langId votes stopword markers, ties break by priority, und on zero") {
