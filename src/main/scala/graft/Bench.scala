@@ -117,6 +117,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, sec) = time(
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L })
+      // drop operator-persisted intermediates (signature/bucket tables)
+      // between queries: one session runs the whole surface, and the
+      // caches would otherwise accumulate for its lifetime (ADVICE r1)
+      spark.catalog.clearCache()
       name -> sec
     }
     spark.stop()

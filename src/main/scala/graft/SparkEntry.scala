@@ -34,7 +34,9 @@ object SparkEntry {
     "q_setops" -> (Queries.qSetOps _),
     "q_events_window" -> (Queries.qEventsWindow _),
     "q_events_sessions" -> (Queries.qEventsSessions _),
+    "q_stateful_sessions" -> (Queries.qStatefulSessions _),
     "q_salted_agg" -> (Queries.qSaltedAgg _),
+    "q5_multi_join" -> (Queries.q5MultiJoin _),
     // KG construction (SURVEY.md §2.1)
     "kg_triples" -> (Queries.kgTriples _),
     "kg_nq_lines" -> (Queries.kgNqLines _),
@@ -50,20 +52,200 @@ object SparkEntry {
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
+    "dedup_minhash_recall" -> (Queries.dedupMinhashRecall _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
+    "dedup_embedding_lsh" -> (Queries.dedupEmbeddingLsh _),
+    "dedup_embedding_recall" -> (Queries.dedupEmbeddingRecall _),
     "dedup_clusters" -> (Queries.dedupClusters _),
     "sim_ann_topk" -> (Queries.simAnnTopk _),
     "sim_ann_lsh" -> (Queries.simAnnLsh _),
+    "sim_ann_lsh_recall" -> (Queries.simAnnLshRecall _),
     "sim_ann_ivf" -> (Queries.simAnnIvf _),
+    "sim_ann_ivf_recall" -> (Queries.simAnnIvfRecall _),
     "mm_decode" -> (Queries.mmDecode _)
   )
 
-  /** DuckDB oracles. Omitted on purpose (rows-only check): LSH-pruned
-    * operators whose candidate sets are sound-but-approximate
-    * (dedup_minhash_lsh, dedup_simhash, sim_ann_lsh — their EXACT
-    * counterparts dedup_ngram_jaccard / sim_ann_topk are fully
-    * oracle-checked).
+  // ---------- portable-hash SQL fragments ----------
+  //
+  // The approximate operators (MinHash+LSH, SimHash, sign-hash ANN,
+  // IVF) draw every hash/plane from graft.ops.Portable — 31-bit
+  // arithmetic and fixed-order double folds that DuckDB evaluates
+  // identically. These fragments re-derive the engine's exact
+  // signatures, buckets and candidate sets in SQL, which upgrades the
+  // round-1 "no_oracle" entries to hash-exact rows and powers the
+  // recall queries (VERDICT round 1, item 2). Shared CONSTANTS
+  // (seeds, the mixer) are parameters of the algorithm under test; the
+  // COMPUTATION (signatures, joins, verification) is independent SQL.
+
+  private val P = graft.ops.Portable
+
+  /** 3-token shingle sets per document (mirrors Dedup.shingleSet). */
+  private val shingleCtes: String =
+    """tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM tok WHERE len(t) >= 3)""".stripMargin
+
+  /** Exact n-gram Jaccard pairs via posting-list join with the df cap
+    * mirrored (df BETWEEN 2 AND maxDf — Dedup.ngramJaccardPairs).
+    * Ends in relation `exact_pairs(id_a, id_b, jaccard)`.
+    */
+  private val ngramFromSh: String =
+    s"""post AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
+       |keep AS (SELECT shingle FROM post GROUP BY shingle
+       |  HAVING count(*) BETWEEN 2 AND ${graft.ops.Dedup.defaultMaxDf}),
+       |pl AS (SELECT doc_id, sz, shingle FROM post JOIN keep USING (shingle)),
+       |ipair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+       |    count(*) AS inter
+       |  FROM pl a JOIN pl b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |exact_pairs AS (SELECT id_a, id_b,
+       |    round(CAST(inter AS DOUBLE) / (sa + sb - inter), 5) AS jaccard
+       |  FROM ipair
+       |  WHERE round(CAST(inter AS DOUBLE) / (sa + sb - inter), 5) >= 0.12)""".stripMargin
+
+  private val ngramPairCtes: String = shingleCtes + ",\n" + ngramFromSh
+
+  /** MinHash signatures (64 universal hashes over polyhash31 shingle
+    * hashes), 16×4 banding, bucket self-join, exact-Jaccard verify.
+    * Ends in relation `mh_pairs(id_a, id_b, jaccard)` (pre-tau).
+    */
+  private val minhashFromSh: String = {
+    val seedPairs = (0 until 64).map(j => s"[${P.seedA(j)}, ${P.seedB(j)}]")
+      .mkString("[", ", ", "]")
+    s"""hs AS (SELECT doc_id, s, list_transform(s, sg -> ${P.polyhash31Sql("sg")}) AS hv FROM sh),
+         |msig AS (SELECT doc_id, s, list_transform($seedPairs,
+         |    ab -> list_min(list_transform(hv, h -> (ab[1]*h + ab[2]) % 2147483647))) AS sg
+         |  FROM hs),
+         |bb AS (SELECT doc_id, bnd.band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), sg[bnd.band*4 + 1 : bnd.band*4 + 4]),
+         |      (a, v) -> (a*1000003 + v) % 2147483648) AS bucket
+         |  FROM msig CROSS JOIN (SELECT unnest(range(0, 16)) AS band) bnd),
+         |mcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id),
+         |mh_pairs AS (SELECT id_a, id_b,
+         |    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+         |      (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 5) AS jaccard
+         |  FROM mcand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)""".stripMargin
+  }
+
+  private val minhashCtes: String = shingleCtes + ",\n" + minhashFromSh
+
+  /** 60-bit SimHash (4 chunks × 15 bits, per-chunk universal hashes
+    * over distinct-token polyhash31), chunk-key blocking, Hamming
+    * verify. Ends in `sh_pairs(id_a, id_b, hamming)` (pre-threshold).
+    */
+  private val simhashCtes: String = {
+    val pa = P.sqlLongList(graft.ops.Dedup.simhashA.toSeq)
+    val pb = P.sqlLongList(graft.ops.Dedup.simhashB.toSeq)
+    s"""stok AS (SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS ts FROM documents),
+       |sth AS (SELECT doc_id, unnest(list_transform(ts, tk -> ${P.polyhash31Sql("tk")})) AS h
+       |  FROM stok WHERE len(ts) > 0),
+       |svt AS (SELECT doc_id, sbit.b AS b,
+       |    SUM(CASE WHEN ((((($pa)[(sbit.b // 15) + 1] * h + ($pb)[(sbit.b // 15) + 1])
+       |      % 2147483647) >> (sbit.b % 15)) & 1) = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM sth CROSS JOIN (SELECT unnest(range(0, 60)) AS b) sbit
+       |  GROUP BY doc_id, sbit.b),
+       |ssig AS (SELECT doc_id,
+       |    SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS sig
+       |  FROM svt GROUP BY doc_id),
+       |sck AS (SELECT doc_id, sig, ch.c AS c, (sig >> (ch.c * 15)) & 32767 AS key
+       |  FROM ssig CROSS JOIN (SELECT unnest(range(0, 4)) AS c) ch),
+       |sh_pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  FROM sck a JOIN sck b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Sign-hash buckets over the embeddings (portable hyperplanes,
+    * sequential-fold dots). Ends in `bk(vec_id, t, bucket)`; `e` holds
+    * the double-cast vectors.
+    */
+  private def annBucketCtes(tables: Int, bits: Int, dim: Int): String = {
+    val plane = P.planeComponentSql("t", "b", "d")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |tb AS (SELECT tt.t AS t, bb2.b AS b
+       |  FROM (SELECT unnest(range(0, $tables)) AS t) tt
+       |  CROSS JOIN (SELECT unnest(range(0, $bits)) AS b) bb2),
+       |dp AS (SELECT vec_id, t, b,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, $dim),
+       |      d -> v[d+1] * ($plane))), (a, x) -> a + x) AS dotp
+       |  FROM e CROSS JOIN tb),
+       |bk AS (SELECT vec_id, t,
+       |    SUM(CASE WHEN dotp >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS bucket
+       |  FROM dp GROUP BY vec_id, t)""".stripMargin
+  }
+
+  /** LSH ANN top-k (8 tables × 4 bits, exact re-rank). Ends in
+    * `lsh_topk(query_id, rk, neighbor_id, sim)`.
+    */
+  private val annLshCtes: String = annBucketCtes(8, 4, 64) + ",\n" +
+    s"""lcand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |lsc AS (SELECT query_id, neighbor_id, round(${P.cosineSql("q.v", "c.v", 64)}, 5) AS sim
+       |  FROM lcand JOIN e q ON q.vec_id = query_id JOIN e c ON c.vec_id = neighbor_id),
+       |lrk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id) AS rk FROM lsc),
+       |lsh_topk AS (SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, sim
+       |  FROM lrk WHERE rk <= 5)""".stripMargin
+
+  /** IVF top-k with seed centroids (iters=0): 16 lowest-vec_id
+    * centroids, argmax assignment by (round5 cosine DESC, cid ASC),
+    * nprobe=4 probing, exact re-rank. Ends in `ivf_topk`.
+    */
+  private val annIvfCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |  FROM e ORDER BY vec_id LIMIT 16),
+       |iasg AS (SELECT vec_id, v, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY round(${P.cosineSql("v", "cv", 64)}, 5) DESC, cid) AS r
+       |  FROM e CROSS JOIN cent),
+       |idx AS (SELECT vec_id AS neighbor_id, v AS nv, cid AS list_id FROM iasg WHERE r = 1),
+       |iprb AS (SELECT vec_id AS query_id, v AS qv, cid AS list_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY round(${P.cosineSql("v", "cv", 64)}, 5) DESC, cid) AS r
+       |  FROM e CROSS JOIN cent WHERE vec_id < 10),
+       |isc AS (SELECT query_id, neighbor_id, round(${P.cosineSql("qv", "nv", 64)}, 5) AS sim
+       |  FROM (SELECT query_id, qv, list_id FROM iprb WHERE r <= 4) pp
+       |  JOIN idx USING (list_id) WHERE neighbor_id <> query_id),
+       |irk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id) AS rk FROM isc),
+       |ivf_topk AS (SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, sim
+       |  FROM irk WHERE rk <= 5)""".stripMargin
+
+  /** Brute-force exact top-k pair set (the sim_ann_topk oracle's
+    * relation form) — recall denominators. Ends in
+    * `bf_topk(query_id, neighbor_id)`. Requires `e` in scope.
+    */
+  private val annBruteCtes: String =
+    """bsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(q.v, c.v), 5) AS sim
+      |  FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+      |brk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, neighbor_id) AS rk FROM bsc),
+      |bf_topk AS (SELECT query_id, neighbor_id FROM brk WHERE rk <= 5)""".stripMargin
+
+  /** One-row recall scoreboard over two relations with key columns
+    * (k1, k2): n_exact, n_approx, n_found, recall_pct.
+    */
+  private def recallSelect(exactRel: String, approxRel: String,
+      k1: String, k2: String): String =
+    s"""SELECT
+       |  (SELECT count(*) FROM $exactRel) AS n_exact,
+       |  (SELECT count(*) FROM $approxRel) AS n_approx,
+       |  (SELECT count(*) FROM $exactRel x JOIN $approxRel y
+       |     ON x.$k1 = y.$k1 AND x.$k2 = y.$k2) AS n_found,
+       |  CAST(CASE WHEN (SELECT count(*) FROM $exactRel) = 0 THEN 100
+       |       ELSE (100 * (SELECT count(*) FROM $exactRel x JOIN $approxRel y
+       |         ON x.$k1 = y.$k1 AND x.$k2 = y.$k2))
+       |         // (SELECT count(*) FROM $exactRel) END AS BIGINT) AS recall_pct""".stripMargin
+
+  /** DuckDB oracles — every harness query has one (round 1's four
+    * rows-only approximate entries are now reproduced signature-for-
+    * signature via the portable fragments above).
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -333,17 +515,87 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
-        |sh AS (SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(t) - 1),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM tok WHERE len(t) >= 3),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS sa, len(b.s) AS sb
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b,
-        |  round(CAST(inter AS DOUBLE) / (sa + sb - inter), 5) AS jaccard
-        |FROM p WHERE round(CAST(inter AS DOUBLE) / (sa + sb - inter), 5) >= 0.12""".stripMargin,
+      s"""WITH $ngramPairCtes
+         |SELECT id_a, id_b, jaccard FROM exact_pairs""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $minhashCtes
+         |SELECT id_a, id_b, jaccard FROM mh_pairs WHERE jaccard >= 0.12""".stripMargin,
+
+    "dedup_minhash_recall" ->
+      s"""WITH $shingleCtes,
+         |$ngramFromSh,
+         |$minhashFromSh,
+         |erel AS (SELECT DISTINCT id_a, id_b FROM exact_pairs),
+         |arel AS (SELECT DISTINCT id_a, id_b FROM mh_pairs WHERE jaccard >= 0.12)
+         |${recallSelect("erel", "arel", "id_a", "id_b")}""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $simhashCtes
+         |SELECT id_a, id_b, hamming FROM sh_pairs WHERE hamming <= 3""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      s"""WITH ${annBucketCtes(8, 3, 64)},
+         |ecand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |esc AS (SELECT id_a, id_b, round(${P.cosineSql("x.v", "y.v", 64)}, 5) AS sim
+         |  FROM ecand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b)
+         |SELECT id_a, id_b, sim FROM esc WHERE sim >= 0.35""".stripMargin,
+
+    "dedup_embedding_recall" ->
+      s"""WITH ${annBucketCtes(8, 3, 64)},
+         |ecand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |esc AS (SELECT id_a, id_b, round(${P.cosineSql("x.v", "y.v", 64)}, 5) AS sim
+         |  FROM ecand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b),
+         |arel AS (SELECT id_a, id_b FROM esc WHERE sim >= 0.35),
+         |erel AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.35)
+         |${recallSelect("erel", "arel", "id_a", "id_b")}""".stripMargin,
+
+    "sim_ann_lsh" ->
+      s"""WITH $annLshCtes
+         |SELECT query_id, rk, neighbor_id, sim FROM lsh_topk""".stripMargin,
+
+    "sim_ann_lsh_recall" ->
+      s"""WITH $annLshCtes,
+         |$annBruteCtes,
+         |arel AS (SELECT query_id, neighbor_id FROM lsh_topk)
+         |${recallSelect("bf_topk", "arel", "query_id", "neighbor_id")}""".stripMargin,
+
+    "sim_ann_ivf" ->
+      s"""WITH $annIvfCtes
+         |SELECT query_id, rk, neighbor_id, sim FROM ivf_topk""".stripMargin,
+
+    "sim_ann_ivf_recall" ->
+      s"""WITH $annIvfCtes,
+         |$annBruteCtes,
+         |arel AS (SELECT query_id, neighbor_id FROM ivf_topk)
+         |${recallSelect("bf_topk", "arel", "query_id", "neighbor_id")}""".stripMargin,
+
+    "q5_multi_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_stateful_sessions" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |y AS (SELECT user_id,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ind
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, CAST(SUM(ind) AS BIGINT) AS n_sessions,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM y GROUP BY user_id""".stripMargin,
 
     "dedup_clusters" ->
       """WITH RECURSIVE tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
@@ -386,12 +638,23 @@ object SparkEntry {
         |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, sim
         |FROM r WHERE rk <= 5""".stripMargin,
 
+    // The oracle predicts every metadata field from the doc_id
+    // arithmetic that parameterizes the synthetic containers
+    // (Multimodal.syntheticMedia scaladoc); the engine must recover
+    // the same values by PARSING the real JPEG/WAV bytes.
     "mm_decode" ->
-      """WITH b AS (SELECT doc_id,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents)
-        |SELECT doc_id, n AS n_bytes,
-        |  16 + n % 64 AS width, 16 + (n // 64) % 64 AS height,
-        |  1 + n % 8 AS n_frames, n > 0 AS ok
-        |FROM b""".stripMargin
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'wav' END AS kind,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 55 + doc_id % 17
+        |       ELSE 44 + (10 + doc_id % 90) * (1 + (doc_id // 2) % 2) * 2
+        |       END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + (doc_id * 7) % 1000 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + (doc_id * 13) % 800 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3
+        |       ELSE 1 + (doc_id // 2) % 2 END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 5) * 4000 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 10 + doc_id % 90 END AS BIGINT) AS n_frames,
+        |  TRUE AS ok
+        |FROM documents""".stripMargin
   )
 }

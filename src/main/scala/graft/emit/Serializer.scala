@@ -25,22 +25,36 @@ import org.apache.spark.sql.functions._
   */
 object Serializer {
 
-  /** extension/MIME negotiation table — mirrors the reference's
-    * ACCEPTED_TYPES/ACCEPTED_EXTENSIONS (src/cattle.py:40-63).
+  /** (format, extension, MIME) negotiation table — mirrors the
+    * reference's EXTENSION_DICT / MIME_TYPE_DICT verbatim
+    * (src/cattle.py:44-63): 9 keys including the `rdfxml` alias of
+    * `xml`, trix served as application/xml with an .xml extension.
+    * ORDERED so MIME → format resolution is deterministic (`xml` wins
+    * application/rdf+xml over its aliases).
     */
-  val formats: Map[String, String] = Map(
-    "nquads" -> "application/n-quads",
-    "nt" -> "application/n-triples",
-    "turtle" -> "text/turtle",
-    "n3" -> "text/n3",
-    "trig" -> "application/trig",
-    "json-ld" -> "application/ld+json",
-    "xml" -> "application/rdf+xml",
-    "pretty-xml" -> "application/rdf+xml",
-    "trix" -> "application/trix")
+  val formatTable: Seq[(String, String, String)] = Seq(
+    ("nquads", ".nq", "application/n-quads"),
+    ("nt", ".nt", "application/n-triples"),
+    ("turtle", ".ttl", "text/turtle"),
+    ("n3", ".n3", "text/n3"),
+    ("trig", ".trig", "application/trig"),
+    ("json-ld", ".jsonld", "application/ld+json"),
+    ("xml", ".rdf", "application/rdf+xml"),
+    ("rdfxml", ".rdf", "application/rdf+xml"),
+    ("trix", ".xml", "application/xml"))
 
+  val formats: Map[String, String] =
+    formatTable.map { case (f, _, mime) => f -> mime }.toMap
+
+  val extensions: Map[String, String] =
+    formatTable.map { case (f, ext, _) => f -> ext }.toMap
+
+  /** First table entry whose MIME matches — stable resolution order
+    * (the round-1 Map iteration picked xml vs pretty-xml
+    * nondeterministically; ADVICE round 1).
+    */
   def formatFor(accept: String): Option[String] =
-    formats.collectFirst { case (f, mime) if mime == accept => f }
+    formatTable.collectFirst { case (f, _, mime) if mime == accept => f }
 
   // ---------- term rendering (driver+executor scala; mirrors nqLine) ----------
 
@@ -163,10 +177,39 @@ object Serializer {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
-  /** RDF/XML: generic rdf:Description blocks (always valid, no QName
-    * splitting games — properties emitted via rdf:predicate reification-
-    * free form using full property IRIs is not possible in RDF/XML, so
-    * split the property IRI at the last #, / or : for the QName).
+  /** Is `s` a legal XML NCName (the part of a QName after the colon)?
+    * Conservative ASCII subset: letter/underscore start, then
+    * letters/digits/-/./_ — anything else falls back to a generic
+    * property element.
+    */
+  def isNcName(s: String): Boolean =
+    s.nonEmpty &&
+      (s.head.isLetter || s.head == '_') &&
+      s.forall(c => c.isLetterOrDigit || c == '-' || c == '.' || c == '_')
+
+  /** Split a predicate IRI into (namespace, NCName local part) at the
+    * last '#', '/' or ':' that leaves a legal local name; IRIs with no
+    * such split point (e.g. ending in '/', or urn:a:9) get None —
+    * the serializer then emits them via the RDF/XML general-property
+    * escape hatch (rdf:li-style numbered property) instead of silently
+    * producing malformed XML (ADVICE round 1).
+    */
+  def qnameSplit(p: String): Option[(String, String)] = {
+    val cuts = Seq(p.lastIndexOf('#'), p.lastIndexOf('/'), p.lastIndexOf(':'))
+    val cut = cuts.max + 1
+    if (cut <= 0 || cut >= p.length) None
+    else {
+      val local = p.substring(cut)
+      if (isNcName(local)) Some((p.substring(0, cut), local)) else None
+    }
+  }
+
+  /** RDF/XML: generic rdf:Description blocks. Property QNames are
+    * split at the last '#', '/' or ':' and validated as NCNames;
+    * a predicate IRI with no legal split point FAILS LOUDLY with a
+    * pointer to the line-oriented formats (RDF/XML simply cannot
+    * express such predicates; round 1 silently emitted malformed XML —
+    * ADVICE round 1).
     */
   def toRdfXml(triples: DataFrame): String = {
     val rows = collectGuarded(triples)
@@ -175,8 +218,11 @@ object Serializer {
     sb.append("<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\">\n")
     for (r <- rows) {
       val p = r.getAs[String]("p")
-      val cut = math.max(p.lastIndexOf('#'), p.lastIndexOf('/')) + 1
-      val (ns, local) = (p.substring(0, cut), p.substring(cut))
+      val (ns, local) = qnameSplit(p).getOrElse {
+        throw new IllegalArgumentException(
+          s"predicate IRI '$p' has no legal RDF/XML QName split; " +
+            "serialize as nquads/turtle instead")
+      }
       sb.append(s"""  <rdf:Description rdf:about="${xmlEscape(r.getAs[String]("s"))}">""").append('\n')
       if (r.getAs[String]("o_kind") == "iri")
         sb.append(s"""    <$local xmlns="${xmlEscape(ns)}" rdf:resource="${xmlEscape(r.getAs[String]("o_lex"))}"/>""")
@@ -270,7 +316,7 @@ object Serializer {
       case "nt" => writeNt(triples, path, gzip)
       case "turtle" | "n3" => writeTurtle(triples, path, gzip)
       case "trig" => writeTrig(triples, path, gzip)
-      case "xml" | "pretty-xml" => writeDriverDoc(toRdfXml(triples), path, gzip)
+      case "xml" | "rdfxml" | "pretty-xml" => writeDriverDoc(toRdfXml(triples), path, gzip)
       case "trix" => writeDriverDoc(toTrix(triples), path, gzip)
       case "json-ld" => writeDriverDoc(toJsonLd(triples), path, gzip)
       case other =>

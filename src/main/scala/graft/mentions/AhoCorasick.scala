@@ -56,9 +56,19 @@ final class AhoCorasick private (
     if (t < 0) 0 else t
   }
 
+  /** ASCII `\b` word character — EXACTLY the class the regex oracles
+    * use (RE2/DuckDB `\b` = [0-9A-Za-z_]): underscore is a word char,
+    * non-ASCII letters are not. Round 1 used isLetterOrDigit, which
+    * silently diverged on 'spark_x' (engine matched, oracle didn't)
+    * and 'sparké' (oracle matched, engine didn't) — ADVICE round 1.
+    */
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
   private def boundaryOk(text: String, b: Int, e: Int): Boolean = {
-    val okL = b == 0 || !Character.isLetterOrDigit(text.charAt(b - 1))
-    val okR = e >= text.length || !Character.isLetterOrDigit(text.charAt(e))
+    val okL = b == 0 || !isWordChar(text.charAt(b - 1))
+    val okR = e >= text.length || !isWordChar(text.charAt(e))
     okL && okR
   }
 

@@ -19,9 +19,17 @@ import org.apache.spark.sql.functions._
   *    near-dup pair within Hamming distance 3 shares ≥1 exact chunk —
   *    pigeonhole), then verified with bit_count(xor).
   *
-  * All signatures derive from content only (xxhash64 of shingle text),
-  * never from row position — results are invariant under partitioning
-  * and parallelism (SURVEY.md §4.3).
+  * All signatures derive from content only (portable 31-bit hashing of
+  * shingle text — graft.ops.Portable), never from row position —
+  * results are invariant under partitioning and parallelism
+  * (SURVEY.md §4.3) AND bit-reproducible by the SQL oracle.
+  *
+  * Cache lifecycle: the signature/shingle frames are persisted because
+  * they feed both sides of a self-join (and the verify joins); they
+  * stay cached after the result materializes so callers can run
+  * follow-up queries against the same signatures. A caller running
+  * MANY operators on one session should `spark.catalog.clearCache()`
+  * between them (Verify/Bench do).
   */
 object Dedup {
 
@@ -59,8 +67,17 @@ object Dedup {
     * Set sizes are computed BEFORE any df filtering so the Jaccard
     * denominator is the true |A ∪ B|.
     */
+  /** Default stop-shingle cap: well above any real shingle's df at test
+    * scale (sf0.1 max df = 25) so the oracle stays exact, but finite —
+    * a boilerplate shingle at web scale can never create a bucket with
+    * more than maxDf² candidate pairs. The SQL oracle mirrors the cap
+    * (df BETWEEN 2 AND maxDf on the posting list), so correctness
+    * holds even when the guard fires.
+    */
+  val defaultMaxDf: Long = 10000L
+
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDf: Long = defaultMaxDf): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // typed shingling + persist: the shingle sets feed both sides of
@@ -95,24 +112,10 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
-  // Deterministic 64-bit string hashing for signatures (driver- and
-  // executor-side plain Scala; signature values are internal to the
-  // LSH blocking so the family only needs to be deterministic and
-  // well-mixed, not to match any engine builtin).
-
-  def fnv64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
-    h
-  }
-
-  def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  // All signature hashing goes through graft.ops.Portable (31-bit
+  // universal family, SQL-expressible) so the DuckDB oracle re-derives
+  // the exact same signatures and band buckets — the candidate sets,
+  // not just the verified pairs, are hash-exact cross-engine.
 
   /** Distinct word n-gram shingles — executor-side twin of
     * [[shingles]] (same `\s+` tokenization).
@@ -129,17 +132,19 @@ object Dedup {
     }
   }
 
-  /** MinHash signature of a shingle set: numHashes seeded rehashes,
-    * h_i(s) = splitmix64(fnv64(s) ^ seed_i), min over the set.
+  /** MinHash signature of a shingle set: numHashes universal-family
+    * rehashes h_j(s) = (a_j·polyhash31(s) + b_j) mod (2^31-1), min over
+    * the set. 31-bit arithmetic so the SQL oracle computes the same
+    * values (Portable scaladoc).
     */
-  def minhashSig(sh: Array[String], seeds: Array[Long]): Array[Long] = {
-    val sig = Array.fill(seeds.length)(Long.MaxValue)
+  def minhashSig(sh: Array[String], as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val sig = Array.fill(as.length)(Long.MaxValue)
     var k = 0
     while (k < sh.length) {
-      val h = fnv64(sh(k))
+      val h = Portable.polyhash31(sh(k))
       var j = 0
-      while (j < seeds.length) {
-        val v = splitmix64(h ^ seeds(j))
+      while (j < as.length) {
+        val v = (as(j) * h + bs(j)) % Portable.P31
         if (v < sig(j)) sig(j) = v
         j += 1
       }
@@ -170,7 +175,8 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val numHashes = bands * rowsPerBand
-    val seeds = Array.tabulate(numHashes)(i => splitmix64(0x5eed0000L + i))
+    val as = Array.tabulate(numHashes)(Portable.seedA)
+    val bs = Array.tabulate(numHashes)(Portable.seedB)
     val sh = docs
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
@@ -178,17 +184,18 @@ object Dedup {
         it.flatMap { case (id, text) =>
           val set = shingleSet(text, n)
           if (set.isEmpty) None
-          else Some((id, set, minhashSig(set, seeds)))
+          else {
+            val sig = minhashSig(set, as, bs)
+            val buckets = Array.tabulate(bands)(b =>
+              Portable.bandBucket(sig, b * rowsPerBand, rowsPerBand))
+            Some((id, set, buckets))
+          }
         }
       }
-      .toDF("doc_id", "sh", "sig")
+      .toDF("doc_id", "sh", "buckets")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(slice(col("sig"), b * lit(rowsPerBand) + lit(1),
-              lit(rowsPerBand))).as("bucket")))).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -207,31 +214,50 @@ object Dedup {
 
   // ---------- SimHash ----------
 
-  /** 64-bit SimHash of a text: per bit, sum ±1 votes from each distinct
-    * token's hash, take the sign. Plain Scala (see minhashLshPairs for
-    * why signature math is not a Column tree).
+  /** SimHash chunk-hash parameters: 4 independent universal-family
+    * members (one per 15-bit chunk), drawn from the portable mixer.
+    */
+  val simhashA: Array[Long] =
+    Array.tabulate(4)(c => 1L + Portable.mix31(1000L + 2L * c) % (Portable.P31 - 1L))
+  val simhashB: Array[Long] =
+    Array.tabulate(4)(c => Portable.mix31(1001L + 2L * c) % Portable.P31)
+
+  /** 60-bit SimHash (4 chunks × 15 bits): per bit, sum ±1 votes from
+    * each distinct token's chunk hash, take the sign (ties → 0). 60
+    * bits, not 64, so the assembled signature and every chunk product
+    * stay inside non-negative signed-64 / SQL BIGINT range; chunk c's
+    * bits come from (a_c·polyhash31(token) + b_c) mod (2^31-1). Plain
+    * Scala (see minhashLshPairs for why signature math is not a Column
+    * tree). Returns 0 for null/token-free text.
     */
   def simhashOf(text: String): Long = {
     if (text == null) return 0L
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](60)
     val seen = new scala.collection.mutable.HashSet[String]
     for (t <- text.split("\\s+") if t.nonEmpty && seen.add(t)) {
-      val h = splitmix64(fnv64(t))
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
+      val h = Portable.polyhash31(t)
+      var c = 0
+      while (c < 4) {
+        val hc = (simhashA(c) * h + simhashB(c)) % Portable.P31
+        var j = 0
+        while (j < 15) {
+          if (((hc >>> j) & 1L) == 1L) votes(c * 15 + j) += 1 else votes(c * 15 + j) -= 1
+          j += 1
+        }
+        c += 1
       }
     }
     var sig = 0L
     var j = 0
-    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    while (j < 60) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
     sig
   }
 
   /** SimHash near-dup pairs within Hamming distance maxHamming (≤ 3
-    * with 4 chunks, by pigeonhole): block on exact 16-bit chunks, then
-    * verify with bit_count(xor).
+    * with 4 chunks, by pigeonhole): block on exact 15-bit chunks, then
+    * verify with bit_count(xor). Documents with no tokens are excluded
+    * (they carry no content signal; an all-zero signature would pair
+    * every empty document with every other).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val spark = docs.sparkSession
@@ -239,14 +265,19 @@ object Dedup {
     // persist: sig is consumed by both sides of the chunk self-join
     val sigs = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
-      .mapPartitions(it => it.map { case (id, text) => (id, simhashOf(text)) })
-      .toDF("doc_id", "sig")
+      .mapPartitions(it => it.flatMap { case (id, text) =>
+        val hasTokens = text != null && text.split("\\s+").exists(_.nonEmpty)
+        if (!hasTokens) None
+        else {
+          val sig = simhashOf(text)
+          val chunks = Array.tabulate(4)(c => (sig >>> (15 * c)) & 0x7fffL)
+          Some((id, sig, chunks))
+        }
+      })
+      .toDF("doc_id", "sig", "chunks")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("doc_id"), col("sig"),
-        explode(transform(sequence(lit(0), lit(3)), c => struct(c.as("chunk"),
-          call_function("shiftrightunsigned", col("sig"), c * lit(16))
-            .bitwiseAND(lit(0xffffL)).as("key")))).as("ck"))
-      .select(col("doc_id"), col("sig"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+      posexplode(col("chunks")).as(Seq("chunk", "key")))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -302,11 +333,12 @@ object Dedup {
   def round5(x: Double): Double =
     BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Embedding-cosine near-dup pairs, blocked by a coarse key (here:
-    * the `label` column stands in for the LSH/IVF bucket a production
-    * run would block on) so the self-join is per-block, not global.
-    * Pair scoring runs in a typed map (tight JVM loop — the pair count
-    * is quadratic per block, the one place scoring cost multiplies).
+  /** Embedding-cosine near-dup pairs, blocked by a PRE-EXISTING coarse
+    * key column (a cluster/category id) so the self-join is per-block,
+    * not global. Pair scoring runs in a typed map (tight JVM loop —
+    * the pair count is quadratic per block, the one place scoring cost
+    * multiplies). When no natural block key exists — the 100 TB case —
+    * use [[embeddingNearDupPairsLsh]], which computes its own blocks.
     */
   def embeddingNearDupPairs(emb: DataFrame, tau: Double = 0.95,
       blockCol: String = "label"): DataFrame = {
@@ -317,6 +349,47 @@ object Dedup {
         col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         col("a.embedding").as("va"), col("b.embedding").as("vb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(it => it.flatMap { case (ia, ib, va, vb) =>
+        val sim = round5(cosineOf(va, vb))
+        if (sim >= tau) Some((ia, ib, sim)) else None
+      })
+      .toDF("id_a", "id_b", "sim")
+  }
+
+  /** Embedding near-dup pairs with COMPUTED LSH blocking — the
+    * self-contained scale path (VERDICT round 1, item 4): each vector
+    * lands in `tables` sign-hash buckets (random-hyperplane signatures
+    * from the portable plane family, so the SQL oracle reproduces the
+    * buckets); vectors sharing any (table, bucket) are candidates,
+    * verified by exact cosine ≥ tau. The self-join key is a small
+    * integer — shuffle-friendly, AQE-splittable — and the bucket table
+    * is narrow (no embedding duplication across tables; vectors are
+    * re-joined once for verification).
+    */
+  def embeddingNearDupPairsLsh(emb: DataFrame, tau: Double = 0.95,
+      tables: Int = 4, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planes = Similarity.hyperplanes(tables, bits, dim)
+    val buckets = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          (0 until tables).iterator.map(t => (id, t, Similarity.bucketOf(v, planes(t))))
+        }
+      }
+      .toDF("vec_id", "t", "bucket")
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+    cand
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
       .as[(Long, Long, Array[Float], Array[Float])]
       .mapPartitions(it => it.flatMap { case (ia, ib, va, vb) =>
         val sim = round5(cosineOf(va, vb))

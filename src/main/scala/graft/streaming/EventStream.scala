@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.sql.Timestamp
-
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -34,31 +32,96 @@ object EventStream {
 
   final case class Ev(user_id: Long, event_id: Long, us: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
-  private final case class SessState(lastUs: Long, sessions: Long, events: Long)
+  // public: the flatMapGroupsWithState state encoder codegens a
+  // constructor call, which a private nested case class breaks
+  final case class SessState(lastUs: Long, sessions: Long, events: Long)
+
+  private def toEvs(events: DataFrame): Dataset[Ev] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(
+      col("user_id").cast("long"),
+      col("event_id").cast("long"),
+      unix_micros(col("ts").cast("timestamp")).as("us")).as[Ev]
+  }
+
+  private def advance(st: SessState, e: Ev, gapUs: Long): SessState = {
+    val newSession = st.lastUs == Long.MinValue || e.us - st.lastUs > gapUs
+    SessState(e.us, st.sessions + (if (newSession) 1 else 0), st.events + 1)
+  }
 
   /** Stateful sessionization (gap > gapSec starts a new session) via
-    * mapGroupsWithState — the custom-state path for streams. In batch
-    * mode each group arrives complete, so the result matches the
-    * lag-window formulation (Queries.qEventsSessions), which the specs
-    * assert.
+    * mapGroupsWithState — the custom-state path for streams. Each
+    * micro-batch's per-user slice is sorted before folding into state
+    * (event order within a batch is not guaranteed); memory is bounded
+    * by the per-user BATCH size, not the user's history — the state
+    * itself is three longs. In batch mode each group arrives complete
+    * (one "batch" = everything), so the result matches the lag-window
+    * formulation (Queries.qEventsSessions), which the oracle asserts;
+    * for batch-at-scale use [[sessionizeBatch]], which buffers nothing.
     */
   def sessionize(spark: SparkSession, events: DataFrame,
       gapSec: Long = 1800L): Dataset[UserSessions] = {
     import spark.implicits._
-    val evs = events.select(
-      col("user_id").cast("long"),
-      col("event_id").cast("long"),
-      unix_micros(col("ts").cast("timestamp")).as("us")).as[Ev]
-    evs.groupByKey(_.user_id).mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+    toEvs(events).groupByKey(_.user_id).mapGroupsWithState(GroupStateTimeout.NoTimeout) {
       (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
-        val sorted = it.toSeq.sortBy(e => (e.us, e.event_id))
+        val sorted = it.toArray.sortBy(e => (e.us, e.event_id))
         var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
-        for (e <- sorted) {
-          val newSession = st.lastUs == Long.MinValue || e.us - st.lastUs > gapSec * 1000000L
-          st = SessState(e.us, st.sessions + (if (newSession) 1 else 0), st.events + 1)
-        }
+        for (e <- sorted) st = advance(st, e, gapSec * 1000000L)
         state.update(st)
         UserSessions(uid, st.sessions, st.events)
     }
+  }
+
+  /** flatMapGroupsWithState variant (update mode): emits the running
+    * per-user totals each micro-batch a user appears in — the
+    * streaming-native shape (ADVICE round 1: incremental state instead
+    * of whole-group buffering). Late/duplicate batches fold into the
+    * same three-long state.
+    */
+  def sessionizeUpdates(spark: SparkSession, events: DataFrame,
+      gapSec: Long = 1800L): Dataset[UserSessions] = {
+    import spark.implicits._
+    toEvs(events).groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = it.toArray.sortBy(e => (e.us, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+            for (e <- sorted) st = advance(st, e, gapSec * 1000000L)
+            state.update(st)
+            Iterator.single(UserSessions(uid, st.sessions, st.events))
+          }
+      }
+  }
+
+  /** Batch-scale sessionization with ZERO per-user buffering: shuffle
+    * once on user_id, sort within partitions by (user_id, us,
+    * event_id), then stream-fold each user's run in a mapPartitions —
+    * the sort is Spark's external (spillable) sort, so a pathological
+    * single user never materializes in memory (ADVICE round 1 on
+    * `it.toSeq.sortBy`). Same three-long state machine as the
+    * streaming paths.
+    */
+  def sessionizeBatch(spark: SparkSession, events: DataFrame,
+      gapSec: Long = 1800L): Dataset[UserSessions] = {
+    import spark.implicits._
+    val gapUs = gapSec * 1000000L
+    toEvs(events)
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "us", "event_id")
+      .mapPartitions { it =>
+        val in = it.buffered
+        new Iterator[UserSessions] {
+          def hasNext: Boolean = in.hasNext
+          def next(): UserSessions = {
+            val uid = in.head.user_id
+            var st = SessState(Long.MinValue, 0L, 0L)
+            while (in.hasNext && in.head.user_id == uid) st = advance(st, in.next(), gapUs)
+            UserSessions(uid, st.sessions, st.events)
+          }
+        }
+      }
   }
 }

@@ -34,6 +34,13 @@ class AhoCorasickSpec extends AnyFunSuite {
     assert(surfaces(ac.findAll("QatarAirways", wordBoundary = false)) == List("Qatar"))
   }
 
+  test("word boundaries are ASCII \\b (oracle-regex parity, ADVICE r1)") {
+    // underscore IS a word char under \b: Qatar_x must NOT match
+    assert(ac.findAll("Qatar_x is here").isEmpty)
+    // a non-ASCII letter is NOT a word char under RE2 \b: Qataré DOES match
+    assert(surfaces(ac.findAll("Qataré airlines")) == List("Qatar"))
+  }
+
   test("precision: distractors never match fixture text") {
     import graft.fixtures.Fixtures
     val full = AhoCorasick.build(Fixtures.gazetteer)

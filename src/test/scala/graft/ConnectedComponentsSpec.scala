@@ -36,6 +36,25 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     local
   }
 
+  test("reliable checkpointing: distributed loop correct with a checkpoint dir set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(dir)
+    try {
+      val edges = (0 until 40).map(i => (f"n$i%03d", f"n${(i + 3) % 40}%03d"))
+      val out = ConnectedComponents.run(spark, edges.toDF("src", "dst"), localThreshold = 0)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(out == oracle(edges))
+      // the reliable path actually wrote checkpoint data
+      val written = new java.io.File(dir).listFiles()
+      assert(written != null && written.nonEmpty, "no reliable checkpoint data written")
+    } finally {
+      // unset so other specs keep exercising the localCheckpoint path
+      sc.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("fixed shapes: chain, star, bridge, singleton edge (FIXTURES.md F3)") {
     val chain = (0 until 30).map(i => (f"c$i%03d", f"c${i + 1}%03d"))
     val star = (1 until 20).map(i => (f"s$i%03d", "s000"))

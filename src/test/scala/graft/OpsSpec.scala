@@ -201,13 +201,89 @@ class OpsSpec extends AnyFunSuite {
 
   // ---------- multimodal ----------
 
-  test("multimodal decode stub: metadata from binary payloads, nulls ok") {
-    val media = Seq((1L, "hello world"), (2L, ""))
-      .toDF("doc_id", "text")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+  test("JPEG parser recovers SOF dimensions from real marker bytes") {
+    val b = Multimodal.synthJpeg(640, 480, 5)
+    assert(b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b.last == 0xd9.toByte)
+    assert(Multimodal.parseJpeg(b).contains((640L, 480L, 3L)))
+    // truncated / corrupted payloads fail soft, never throw
+    assert(Multimodal.parseJpeg(b.take(6)).isEmpty)
+    assert(Multimodal.parseJpeg(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("WAV parser recovers fmt/data fields from real chunk bytes") {
+    val b = Multimodal.synthWav(channels = 2, rate = 16000, frames = 25)
+    assert(b.length == 44 + 25 * 2 * 2)
+    assert(Multimodal.parseWav(b).contains((2L, 16000L, 25L)))
+    assert(Multimodal.parseWav(b.take(20)).isEmpty)
+  }
+
+  test("multimodal decode: real containers parse, junk yields ok=false rows") {
+    val media = Seq(
+      (0L, Multimodal.syntheticMedia(0L)),
+      (7L, Multimodal.syntheticMedia(7L)),
+      (9L, "not a container".getBytes),
+      (10L, null: Array[Byte]))
+      .toDF("doc_id", "media")
     val out = Multimodal.decodeMeta(spark, media).collect().map(m => m.doc_id -> m).toMap
-    assert(out(1L).n_bytes == 11L && out(1L).ok)
-    assert(out(1L).width == 16 + 11 % 64 && out(1L).n_frames == 1 + 11 % 8)
-    assert(out(2L).n_bytes == 0L && !out(2L).ok)
+    assert(out(0L).kind == "jpeg" && out(0L).ok &&
+      out(0L).width.contains(16L) && out(0L).height.contains(16L) &&
+      out(0L).channels.contains(3L))
+    assert(out(7L).kind == "wav" && out(7L).ok &&
+      out(7L).channels.contains(1L + (7L / 2) % 2) &&
+      out(7L).sample_rate.contains(8000L + (7L % 5) * 4000) &&
+      out(7L).n_frames.contains(10L + 7L % 90))
+    assert(!out(9L).ok && !out(10L).ok)
+  }
+
+  // ---------- scale guards ----------
+
+  test("ngram Jaccard maxDf guard drops planted boilerplate shingles") {
+    // 12 docs sharing one boilerplate sentence + one genuine near-dup pair
+    val boiler = "click here to subscribe to our newsletter now"
+    val rows = (1L to 10L).map(i => i -> s"$boiler unique$i filler$i words$i here$i") ++
+      Seq(11L -> "the quick brown fox jumps over the lazy dog tonight",
+        12L -> "the quick brown fox jumps over the lazy dog today")
+    // capped: boilerplate shingles (df=10 > 4) are stop-shingles; only
+    // the genuine pair survives because its shingles have df=2
+    val capped = Dedup.ngramJaccardPairs(docs(rows: _*), n = 3, tau = 0.3, maxDf = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((11L, 12L)), s"guard should keep only the real pair, got $capped")
+    // uncapped: the boilerplate bucket creates O(n²) candidate pairs
+    val uncapped = Dedup.ngramJaccardPairs(docs(rows: _*), n = 3, tau = 0.3,
+        maxDf = Long.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size > capped.size, "without the cap the boiler bucket explodes")
+  }
+
+  test("IVF at nLists=256 on sf0.1: broadcast assignment, no plan blowup") {
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    val res = Similarity.ivfTopK(emb, q, 5, nLists = 256, nprobe = 32, iters = 1)
+    // round 1 folded centroids into plan literals — at nLists=256 that
+    // plan either dies in codegen or takes minutes; the broadcast
+    // argmax must stay comfortably interactive AND compact
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.length < 200000, s"plan exploded: ${plan.length} chars")
+    val t0 = System.nanoTime()
+    val n = res.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n > 0 && secs < 120, s"nLists=256 run took $secs s")
+  }
+
+  test("embedding LSH near-dup: self-contained blocks, full recall on planted dups") {
+    def at(deg: Double) = Array.tabulate(64)(d =>
+      (math.cos(math.toRadians(deg) + d) * (1.0 + d)).toFloat).toSeq
+    val rows = (0 until 40).map(i => (i.toLong, at(i * 23.0))) ++
+      Seq((100L, at(0.0001)), (101L, at(23.0001))) // planted near-dups of 0 and 1
+    val emb = rows.toDF("vec_id", "embedding")
+    val lsh = Dedup.embeddingNearDupPairsLsh(emb, tau = 0.999, tables = 4, bits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.contains((0L, 100L)) && lsh.contains((1L, 101L)),
+      s"planted near-identical pairs must share a sign bucket, got $lsh")
+    // soundness: every emitted pair really clears tau (verify step ran)
+    val exact = Dedup.embeddingNearDupPairs(
+      emb.select($"vec_id", lit(0).as("blk"), $"embedding"), tau = 0.999, blockCol = "blk")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
   }
 }

@@ -55,6 +55,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(codegen(Queries.qJoinAgg(spark, d)).contains("WholeStageCodegen"))
   }
 
+  test("q5_multi_join: region filter pushed to its scan, dims broadcast, date pushed") {
+    val p = plan(Queries.q5MultiJoin(spark, d))
+    // the selective dim filter reaches the region parquet scan
+    assert(p.contains("EqualTo(r_name,ASIA)"), "region filter must be pushed down")
+    // the date range reaches the orders scan (pushed as timestamp bounds)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,") &&
+      p.contains("LessThan(o_orderdate,"), "order-date range must be pushed down")
+    // both tiny dims broadcast; the fact-fact joins shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "nation and region must both broadcast")
+    // pruned fact scan: lineitem reads only join keys + measures
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint," +
+      "l_extendedprice:double,l_discount:double>"),
+      "lineitem scan must prune to 4 columns")
+  }
+
+  test("sim_ann_ivf: plan size is O(1) in nLists (broadcast argmax, no literal centroids)") {
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val p16 = simplePlan(graft.ops.Similarity.ivfTopK(emb, q, 5, nLists = 16, iters = 0))
+    val p64 = simplePlan(graft.ops.Similarity.ivfTopK(emb, q, 5, nLists = 64, iters = 0))
+    // round 1 inlined one struct(cosine(...)) literal per centroid: plan
+    // text grew linearly in nLists and exploded codegen at realistic
+    // sizes — now centroids travel via broadcast, plans are same-sized
+    assert(math.abs(p16.length - p64.length) < 200,
+      s"plan grows with nLists: ${p16.length} vs ${p64.length} chars")
+  }
+
   test("text ops: scan pruned to (doc_id, text)") {
     assert(plan(Queries.textTokens(spark, d)).contains(
       "ReadSchema: struct<doc_id:bigint,text:string>"))
