@@ -180,7 +180,7 @@ object SparkEntry {
   /** LSH ANN top-k (8 tables × 4 bits, exact re-rank). Ends in
     * `lsh_topk(query_id, rk, neighbor_id, sim)`.
     */
-  private val annLshCtes: String = annBucketCtes(8, 4, 64) + ",\n" +
+  private val annLshCtes: String = annBucketCtes(8, 3, 64) + ",\n" +
     s"""lcand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),

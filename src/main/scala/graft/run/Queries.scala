@@ -392,11 +392,13 @@ object Queries {
 
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    // bits sized to the corpus: 2^4 buckets × 8 tables over O(10³-10⁴)
-    // vectors keeps per-bucket candidate lists small while recall
-    // stays high (more corpus → raise bits, not tables)
+    // bits sized to the corpus' similarity range: this corpus' top-k
+    // neighbors sit as low as sim ≈ 0.5 (per-bit collide p ≈ 0.67), so
+    // 2^3 buckets × 8 tables keeps recall ≈ 0.9 (sim_ann_lsh_recall
+    // measures it); at web scale with high-sim targets raise bits, not
+    // tables — bits prune, tables only add recall
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-      tables = 8, bits = 4)
+      tables = 8, bits = 3)
   }
 
   /** IVF with iters=0 (seed centroids): the configuration the SQL
