@@ -36,6 +36,7 @@ object SparkEntry {
     "q_events_sessions" -> (Queries.qEventsSessions _),
     "q_stateful_sessions" -> (Queries.qStatefulSessions _),
     "q_salted_agg" -> (Queries.qSaltedAgg _),
+    "q_host_salted_agg" -> (Queries.qHostSaltedAgg _),
     "q5_multi_join" -> (Queries.q5MultiJoin _),
     // KG construction (SURVEY.md §2.1)
     "kg_triples" -> (Queries.kgTriples _),
@@ -43,6 +44,7 @@ object SparkEntry {
     "kg_turtle_blocks" -> (Queries.kgTurtleBlocks _),
     "kg_mentions" -> (Queries.kgMentions _),
     "kg_canonical" -> (Queries.kgCanonical _),
+    "kg_link_scores" -> (Queries.kgLinkScores _),
     "kg_pipeline" -> (Queries.kgPipeline _),
     // training-data ops
     "text_tokens" -> (Queries.textTokens _),
@@ -327,6 +329,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // the oracle is the UNsalted groupBy — the two-phase salted plan
+    // must be value-identical to the direct aggregation
+    "q_host_salted_agg" ->
+      """WITH d AS (SELECT 'https://ex.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |    text FROM documents)
+        |SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pages,
+        |  CAST(SUM(length(text)) AS BIGINT) AS text_chars
+        |FROM d GROUP BY 1""".stripMargin,
+
     "kg_triples" ->
       """SELECT 'http://graft.local/tpch/nation/' || n_name AS s,
         |  'http://schema.org/name' AS p, 'literal' AS o_kind, n_name AS o_lex,
@@ -424,6 +436,32 @@ object SparkEntry {
         |SELECT 'u:' || lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS node,
         |       'u:' || lpad(CAST(mn AS VARCHAR), 10, '0') AS canonical
         |FROM c WHERE cnt >= 2""".stripMargin,
+
+    // the link scorer's whole feature vector is exact integers, so the
+    // oracle re-derives it from regexes: n via regexp_extract_all,
+    // first_begin as the length of the lazy prefix before the first
+    // word-bounded hit, corroboration as surface = first-token anchor
+    "kg_link_scores" ->
+      """WITH d AS (
+        |  SELECT 'https://ex.test/doc/' || CAST(doc_id AS VARCHAR) AS url, text,
+        |    regexp_extract(text, '^(\S+)', 1) AS w1 FROM documents),
+        |g AS (
+        |  SELECT * FROM (VALUES ('spark','ent:spark'), ('customer','ent:customer'),
+        |    ('vector','ent:vector'), ('stream','ent:stream')) AS t(surface, entity_id)),
+        |m AS (
+        |  SELECT d.url, d.w1, g.surface, g.entity_id,
+        |    len(regexp_extract_all(d.text, '\b' || g.surface || '\b')) AS n,
+        |    length(regexp_extract(d.text,
+        |      '(?s)^((?:.)*?)\b' || g.surface || '\b', 1)) AS fb
+        |  FROM d, g)
+        |SELECT url, entity_id, CAST(n AS BIGINT) AS n_mentions,
+        |  CAST(fb AS BIGINT) AS first_begin,
+        |  CAST(CASE WHEN surface = w1 THEN 1 ELSE 0 END AS BIGINT) AS corroborated,
+        |  CAST(CASE WHEN surface = w1 THEN 9000 ELSE 5000 END
+        |    + 250 * least(n - 1, 2)
+        |    + CASE WHEN fb < 64 THEN 300 ELSE 0 END
+        |    + CASE WHEN length(surface) >= 6 THEN 200 ELSE 0 END AS BIGINT) AS score_bp
+        |FROM m WHERE n > 0""".stripMargin,
 
     "kg_pipeline" ->
       """WITH d AS (

@@ -164,6 +164,24 @@ object Queries {
       .groupBy(col("event_type"))
       .agg(sum(col("pn")).as("n"), sum(col("pv")).as("sum_value_c"))
 
+  /** The north rule's skew case verbatim: aggregation keyed on the
+    * page HOSTNAME, where a crawl's key distribution is power-law and
+    * this corpus is the degenerate worst case — every url shares ONE
+    * host, so an unsalted groupBy funnels the whole table through one
+    * reducer. Two-phase: partial agg on (host, salt-from-url), final
+    * on host — 32-way parallel regardless of host skew, and ≡ the
+    * direct groupBy (the oracle checks exactly that).
+    */
+  def qHostSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    docsAsPages(spark, dir).toDF()
+      .select(regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+        col("url"), col("text"))
+      .withColumn("salt", pmod(xxhash64(col("url")), lit(32)))
+      .groupBy(col("host"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(length(col("text")).cast("long")).as("pc"))
+      .groupBy(col("host"))
+      .agg(sum(col("pn")).as("n_pages"), sum(col("pc")).as("text_chars"))
+
   // ================= KG construction =================
 
   /** The nation table as descriptor "records" (SURVEY.md §2.1 C2-C7
@@ -294,6 +312,26 @@ object Queries {
       |      "propertyUrl": "rdf:type", "valueUrl": "schema:WebPage" }
       |  ] }
       |}""".stripMargin
+
+  /** The entity-link feature scorer exposed as a query: per
+    * (page, entity) candidate — mention count, first-mention offset,
+    * record corroboration, and the integer basis-point score
+    * (Linker scaladoc documents the feature model). Every value is an
+    * exact integer, so the DuckDB oracle re-derives the whole feature
+    * vector from regexes over the raw text.
+    */
+  def kgLinkScores(spark: SparkSession, dir: String): DataFrame = {
+    import graft.link.Linker
+    val pages = docsAsPages(spark, dir)
+    val ts = TableSpec.fromJson(webDescriptor)
+    val mentions = MentionDetector.detect(spark, pages, docGazetteer)
+    val subjects = RuleCompiler.extractFields(pages.toDF(), ts)
+      .select(col("url"), RuleCompiler.subjectColumn(ts).as("subj"),
+        col("w1").as("anchor"))
+    Linker.linkFeatures(spark, mentions, subjects)
+      .select(col("url"), col("entity_id"), col("n_mentions"),
+        col("first_begin"), col("corroborated"), col("score_bp"))
+  }
 
   /** The flagship end-to-end pipeline (extract → map → mentions → link
     * → CC canonicalize → dedup) over the documents corpus, fully

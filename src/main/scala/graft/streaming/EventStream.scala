@@ -96,6 +96,40 @@ object EventStream {
       }
   }
 
+  /** The checkpointed file-to-file stream: parquet source → the same
+    * cents-exact enrichment the batch queries use → parquet sink, with
+    * offsets + sink metadata under `checkpointDir`. `AvailableNow`
+    * drains everything present then stops, so a caller can run it,
+    * land more input files, and run it AGAIN with the same checkpoint —
+    * the restart reprocesses NOTHING (exactly-once file sink), which is
+    * the streaming analogue of the batch pipeline's bucket-level
+    * lineage resume. The spec kills/restarts it across three runs and
+    * asserts output ≡ the one-shot batch result.
+    */
+  def runFilePipe(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    enriched(spark.readStream.schema(schema).parquet(inDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Stateless per-event enrichment (shared by the batch oracle and the
+    * file pipe): exact integer cents + a null-type guard. Narrow, so
+    * the streaming plan is pure pipelined codegen per micro-batch.
+    */
+  def enriched(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isNotNull)
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type"),
+        floor(col("value") * 100).cast("long").as("value_c"))
+
   /** Batch-scale sessionization with ZERO per-user buffering: shuffle
     * once on user_id, sort within partitions by (user_id, us,
     * event_id), then stream-fold each user's run in a mapPartitions —
