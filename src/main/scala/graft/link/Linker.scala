@@ -55,18 +55,22 @@ object Linker {
       spark: SparkSession,
       mentions: Dataset[Mention],
       subjects: DataFrame): DataFrame = {
-    val agg = mentions.toDF()
-      .groupBy(col("url"), col("entity_id"))
+    // per-mention features are computed BEFORE the aggregation so every
+    // aggregation buffer is a primitive long — that keeps the agg a
+    // HashAggregate (string min/max would demote it to SortAggregate)
+    // and makes corroboration "ANY mention (any alias surface) matches
+    // the anchor", the right semantics for multi-surface gazetteers
+    mentions.toDF().join(subjects, "url")
+      .select(col("url"), col("subj"), col("entity_id"),
+        col("begin").cast("long").as("begin"),
+        when(col("surface") === col("anchor"), lit(1L)).otherwise(lit(0L)).as("corr"),
+        length(col("surface")).cast("long").as("slen"))
+      .groupBy(col("url"), col("subj"), col("entity_id"))
       .agg(
         count(lit(1)).as("n_mentions"),
-        min(col("begin")).cast("long").as("first_begin"),
-        // single-surface gazetteer entries make max ≡ the surface; with
-        // alias surfaces this keeps ONE deterministic representative
-        max(col("surface")).as("surface"),
-        max(length(col("surface"))).cast("long").as("surface_len"))
-    agg.join(subjects, "url")
-      .withColumn("corroborated",
-        when(col("surface") === col("anchor"), lit(1L)).otherwise(lit(0L)))
+        min(col("begin")).as("first_begin"),
+        max(col("corr")).as("corroborated"),
+        max(col("slen")).as("surface_len"))
       .withColumn("score_bp",
         when(col("corroborated") === 1L, lit(CORROBORATED_BP.toLong))
           .otherwise(lit(BARE_BP.toLong)) +

@@ -89,4 +89,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan(Queries.dedupExact(spark, d)).contains(
       "ReadSchema: struct<doc_id:bigint,text:string>"))
   }
+
+  test("kg_link_scores: lang pruned from the scan; mention agg is partial before the shuffle") {
+    val p = plan(Queries.kgLinkScores(spark, d))
+    // mentions need (doc_id,text); subjects need (doc_id,text) too (w1
+    // extraction) — lang must never be read for the scorer
+    assert(!p.contains("lang"), "link scoring must not read lang")
+    // the per-(url,entity) mention aggregation must map-side combine
+    // (algebraic count/min/max) before shuffling — the hot-page guard
+    assert(p.contains("HashAggregate") && p.contains("Exchange"))
+    assert(p.indexOf("HashAggregate") >= 0 &&
+      "HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial + final aggregate pair")
+  }
+
+  test("q_host_salted_agg: two shuffle-reducing aggregate pairs (salt phase + host phase)") {
+    val p = plan(Queries.qHostSaltedAgg(spark, d))
+    // two groupBys -> two partial/final pairs; the first keyed on
+    // (host, salt) so the single hot host fans across 32 reducers
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "expected two partial/final aggregate pairs")
+    assert(p.contains("xxhash64"), "salt must derive from the url hash")
+  }
 }
