@@ -308,14 +308,15 @@ object Dedup {
   // ---------- embedding near-dup ----------
 
   /** Cosine similarity of two float-array columns, accumulated in
-    * double. Single sequential fold per side — deterministic.
+    * double, ascending index order — deterministic. Delegates to the
+    * native codegen expression: the previous `aggregate(zip_with(...))`
+    * formulation evaluated its lambdas INTERPRETED (boxed per element,
+    * per scored row); [[graft.functions.CosineSim]] is one primitive
+    * loop with the identical addition sequence, so results are
+    * bit-identical and the oracles are untouched.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim(a, b)
 
   /** Executor-side cosine — identical accumulation order to [[cosine]]
     * (sequential double folds) so results agree bitwise.
