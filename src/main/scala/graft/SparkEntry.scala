@@ -52,6 +52,7 @@ object SparkEntry {
     "text_langid" -> (Queries.textLangId _),
     "text_fingerprint" -> (Queries.textFingerprint _),
     "dedup_exact" -> (Queries.dedupExact _),
+    "curation_pipeline" -> (Queries.curationPipeline _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
     "dedup_minhash_recall" -> (Queries.dedupMinhashRecall _),
@@ -551,6 +552,38 @@ object SparkEntry {
       """SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |  CAST(COUNT(*) AS BIGINT) AS group_size
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // the composed curation pass: same gate/vote/fingerprint formulas
+    // as text_quality / text_langid / text_fingerprint, then the
+    // min-survivor-per-fingerprint dedup window
+    "curation_pipeline" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS BIGINT) AS s_en,
+        |  CAST(len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b')) AS BIGINT) AS s_de,
+        |  CAST(len(regexp_extract_all(text, '\b(le|la|les|et|est|une)\b')) AS BIGINT) AS s_fr,
+        |  CAST(len(regexp_extract_all(text, '\b(el|los|las|es|una|que)\b')) AS BIGINT) AS s_es,
+        |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh,
+        |  md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+        |FROM documents),
+        |g AS (SELECT *,
+        |  CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+        |    AND (n_chars - n_tokens + 1) >= n_tokens * 2
+        |    AND (n_chars - n_tokens + 1) <= n_tokens * 12
+        |    AND s_en >= 1 THEN 1 ELSE 0 END AS q_keep,
+        |  CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_en > 0
+        |    THEN 1 ELSE 0 END AS lang_keep
+        |FROM s),
+        |m AS (SELECT *,
+        |  MIN(CASE WHEN q_keep = 1 AND lang_keep = 1 THEN doc_id END)
+        |    OVER (PARTITION BY fp) AS canon
+        |FROM g)
+        |SELECT doc_id, n_tokens,
+        |  CAST(q_keep AS BIGINT) AS q_keep, CAST(lang_keep AS BIGINT) AS lang_keep,
+        |  CAST(CASE WHEN q_keep = 1 AND lang_keep = 1 AND doc_id = canon
+        |    THEN 1 ELSE 0 END AS BIGINT) AS selected
+        |FROM m""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $ngramPairCtes

@@ -44,10 +44,29 @@ object TextOps {
       size(bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
       length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long").as("n_alpha_chars"))
 
+  /** The quality gate as a pure boolean Column — composable into any
+    * projection without a join (the curation pipeline stacks it with
+    * lang-ID and the fingerprint in ONE narrow stage). Integer
+    * arithmetic only (`2*t <= chars-(t-1)` instead of float means) —
+    * deterministic under any engine.
+    */
+  def qualityKeep(text: Column,
+      minTokens: Int = 10, maxTokens: Int = 100000): Column = {
+    val nTok = size(tokens(text)).cast("long")
+    val nChars = length(text).cast("long")
+    val nStop = size(regexp_extract_all(text,
+      lit(langMarkers.head._2), lit(0))).cast("long")
+    nTok >= minTokens && nTok <= maxTokens &&
+      // mean token length in [2, 12]: 2*t <= chars-(t-1) <= 12*t
+      (nChars - nTok + 1) >= nTok * 2 &&
+      (nChars - nTok + 1) <= nTok * 12 &&
+      nStop >= 1
+  }
+
   /** Heuristic quality score (Gopher/C4-style cheap filters): doc
-    * length bounds, mean token length bounds, stopword presence.
-    * Decisions are integer arithmetic only (`10*stop >= tokens` instead
-    * of `stop/tokens >= 0.1`) — deterministic under any engine.
+    * length bounds, mean token length bounds, stopword presence. The
+    * gate itself is [[qualityKeep]]; codegen's subexpression
+    * elimination shares the regex scans with the reported counts.
     */
   def qualityScore(docs: DataFrame,
       minTokens: Int = 10, maxTokens: Int = 100000): DataFrame = {
@@ -55,18 +74,13 @@ object TextOps {
     val nTok = size(toks).cast("long")
     val nChars = length(col("text")).cast("long")
     val nStop = size(regexp_extract_all(col("text"),
-      lit("\\b(the|a|of|and|to|in)\\b"), lit(0))).cast("long")
+      lit(langMarkers.head._2), lit(0))).cast("long")
     val nPunct = size(regexp_extract_all(col("text"),
       lit("[\\.,;:!\\?]"), lit(0))).cast("long")
     docs.select(
       col("doc_id"), nTok.as("n_tokens"), nChars.as("n_chars"),
-      nStop.as("n_stopwords"), nPunct.as("n_punct"))
-      .withColumn("keep",
-        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
-        // mean token length in [2, 12]: 2*t <= chars-(t-1) <= 12*t
-        (col("n_chars") - col("n_tokens") + 1) >= col("n_tokens") * 2 &&
-        (col("n_chars") - col("n_tokens") + 1) <= col("n_tokens") * 12 &&
-        col("n_stopwords") >= 1)
+      nStop.as("n_stopwords"), nPunct.as("n_punct"),
+      qualityKeep(col("text"), minTokens, maxTokens).as("keep"))
   }
 
   /** Language-ID markers: tiny per-language function-word sets (the
@@ -81,22 +95,30 @@ object TextOps {
     "es" -> "\\b(el|los|las|es|una|que)\\b",
     "zh" -> "[\\u4e00-\\u9fff]")
 
-  /** Stopword-voting language ID. Emits per-language hit counts plus
-    * the argmax (ties → marker-list order; all-zero → "und").
+  /** The language vote as a pure string Column (argmax over marker
+    * hits; ties → marker-list order; all-zero → "und") — composable
+    * like [[qualityKeep]].
     */
-  def langId(docs: DataFrame): DataFrame = {
-    val scored = docs.select(
-      (col("doc_id") +: langMarkers.map { case (l, re) =>
-        size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long").as(s"score_$l")
-      }): _*)
-    val best = langMarkers.map(l => col(s"score_${l._1}")).reduce(greatest(_, _))
+  def predLang(text: Column): Column = {
+    val scores = langMarkers.map { case (l, re) =>
+      l -> size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+    }
+    val best = scores.map(_._2).reduce(greatest(_, _))
     // when-chain in marker-list order: the FIRST language hitting the
     // max wins, matching the SQL CASE the oracle uses
-    val pred = langMarkers.foldRight(lit("und"): Column) { case ((l, _), acc) =>
-      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
     }
-    scored.withColumn("pred_lang", pred)
   }
+
+  /** Stopword-voting language ID: per-language hit counts plus the
+    * [[predLang]] argmax.
+    */
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(
+      (col("doc_id") +: langMarkers.map { case (l, re) =>
+        size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long").as(s"score_$l")
+      }) :+ predLang(col("text")).as("pred_lang"): _*)
 
   /** Content fingerprint: md5 over the case/punct-normalized text —
     * the cheap canonical-form fingerprint used for fuzzy-exact dedup

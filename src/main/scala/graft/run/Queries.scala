@@ -364,6 +364,28 @@ object Queries {
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(table(spark, dir, "documents"))
 
+  /** The training-data curation pipeline the individual text ops exist
+    * for, composed end-to-end: quality gates ∧ lang-ID == en ∧
+    * canonical-fingerprint dedup (min surviving doc_id per fingerprint
+    * wins). Plan shape is the one you want at 100 TB: ONE narrow
+    * codegen stage computes every gate + the fingerprint at scan
+    * speed, then the single shuffle partitions by fingerprint for the
+    * dedup window — no joins, no second pass over the text.
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val surv = col("q_keep") === 1L && col("lang_keep") === 1L
+    val w = Window.partitionBy(col("fp"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        when(TextOps.qualityKeep(col("text")), 1L).otherwise(0L).as("q_keep"),
+        when(TextOps.predLang(col("text")) === "en", 1L).otherwise(0L).as("lang_keep"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      .withColumn("canon", min(when(surv, col("doc_id"))).over(w))
+      .select(col("doc_id"), col("n_tokens"), col("q_keep"), col("lang_keep"),
+        when(surv && col("doc_id") === col("canon"), 1L).otherwise(0L).as("selected"))
+  }
+
   /** Flagship exact near-dup query — the stop-shingle cap is set
     * EXPLICITLY (VERDICT round 1, item 3): the df guard is live, the
     * oracle mirrors it on its posting list, and a planted-boilerplate
