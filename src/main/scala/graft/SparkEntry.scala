@@ -66,7 +66,9 @@ object SparkEntry {
     "sim_ann_lsh_recall" -> (Queries.simAnnLshRecall _),
     "sim_ann_ivf" -> (Queries.simAnnIvf _),
     "sim_ann_ivf_recall" -> (Queries.simAnnIvfRecall _),
-    "mm_decode" -> (Queries.mmDecode _)
+    "mm_decode" -> (Queries.mmDecode _),
+    "mm_thumbnail" -> (Queries.mmThumbnail _),
+    "mm_frame_sample" -> (Queries.mmFrameSample _)
   )
 
   // ---------- portable-hash SQL fragments ----------
@@ -726,6 +728,40 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 5) * 4000 END AS BIGINT) AS sample_rate,
         |  CAST(CASE WHEN doc_id % 2 = 1 THEN 10 + doc_id % 90 END AS BIGINT) AS n_frames,
         |  TRUE AS ok
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // fit-box arithmetic + the 55-byte pixel-less re-encode; odd ids are
+    // the WAV payloads, which the thumbnail pass must reject cleanly
+    "mm_thumbnail" ->
+      """WITH e AS (SELECT doc_id, 16 + (doc_id*7) % 1000 AS w, 16 + (doc_id*13) % 800 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |t AS (SELECT doc_id, w, h,
+        |  CASE WHEN w <= 256 AND h <= 256 THEN w ELSE greatest(1, (w*256) // greatest(w,h)) END AS tw,
+        |  CASE WHEN w <= 256 AND h <= 256 THEN h ELSE greatest(1, (h*256) // greatest(w,h)) END AS th
+        |  FROM e)
+        |SELECT doc_id, 'jpeg' AS kind, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(tw AS BIGINT) AS target_w, CAST(th AS BIGINT) AS target_h,
+        |  CAST(55 AS BIGINT) AS out_n_bytes, TRUE AS ok
+        |FROM t
+        |UNION ALL
+        |SELECT doc_id, 'other', NULL, NULL, NULL, NULL, NULL, FALSE
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+
+    // every-4th-frame PCM sum re-derived from the pcmSample formula via
+    // generate_series; even ids are the JPEG payloads (rejected rows)
+    "mm_frame_sample" ->
+      """WITH o AS (SELECT doc_id, 10 + doc_id % 90 AS frames, 1 + (doc_id // 2) % 2 AS ch
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |s AS (SELECT o.doc_id, o.frames, o.ch, f.f, c.c
+        |  FROM o,
+        |    LATERAL (SELECT unnest(generate_series(0, CAST(o.frames - 1 AS BIGINT), 4)) AS f) f,
+        |    LATERAL (SELECT unnest(generate_series(0, CAST(o.ch - 1 AS BIGINT))) AS c) c)
+        |SELECT doc_id, 'wav' AS kind, CAST(MAX(frames) AS BIGINT) AS n_frames,
+        |  CAST(COUNT(DISTINCT f) AS BIGINT) AS n_sampled,
+        |  CAST(SUM((doc_id + 7*f + 3*c) % 251) AS BIGINT) AS sum_sampled, TRUE AS ok
+        |FROM s GROUP BY doc_id
+        |UNION ALL
+        |SELECT doc_id, 'other', NULL, NULL, NULL, FALSE
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin
   )
 }

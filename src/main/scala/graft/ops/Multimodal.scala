@@ -83,16 +83,26 @@ object Multimodal {
     None
   }
 
-  /** WAV: verify RIFF/WAVE, walk chunks; fmt → (channels, sampleRate,
-    * bitsPerSample), data → byte size; frames = dataSize / blockAlign.
+  /** Full WAV chunk-walk result: fmt fields plus the data chunk's
+    * byte extent — the frame-sampler needs the offset, the metadata
+    * decoder only the shape.
     */
-  def parseWav(b: Array[Byte]): Option[(Long, Long, Long)] = {
+  final case class WavInfo(channels: Long, rate: Long, bits: Long,
+      dataOff: Int, dataSize: Long) {
+    def frames: Long = dataSize / (channels * bits / 8)
+  }
+
+  /** WAV: verify RIFF/WAVE, walk chunks; fmt → (channels, sampleRate,
+    * bitsPerSample), data → (offset, size).
+    */
+  def parseWavInfo(b: Array[Byte]): Option[WavInfo] = {
     if (b.length < 44) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
     var channels = -1L
     var rate = -1L
     var bits = -1L
+    var dataOff = -1
     var dataSize = -1L
     var i = 12
     while (i + 8 <= b.length) {
@@ -103,13 +113,18 @@ object Multimodal {
         rate = u32le(b, i + 12)
         bits = u16le(b, i + 22).toLong
       } else if (id == "data") {
+        dataOff = i + 8
         dataSize = size
       }
       i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
     if (channels <= 0 || rate <= 0 || bits <= 0 || dataSize < 0) None
-    else Some((channels, rate, dataSize / (channels * bits / 8)))
+    else Some(WavInfo(channels, rate, bits, dataOff, dataSize))
   }
+
+  /** WAV shape only: (channels, sampleRate, frames). */
+  def parseWav(b: Array[Byte]): Option[(Long, Long, Long)] =
+    parseWavInfo(b).map(w => (w.channels, w.rate, w.frames))
 
   /** Decode a (doc_id, media BINARY) frame into metadata rows.
     * mapPartitions (not a per-row UDF) so a heavyweight decoder would
@@ -144,6 +159,109 @@ object Multimodal {
       }
   }
 
+  // ---------- transform operators over the parsed containers ----------
+
+  /** One thumbnail-resize record: parsed source dims, integer-exact
+    * target dims, and proof the re-encoded container round-trips.
+    */
+  final case class Thumb(
+      doc_id: Long,
+      kind: String,
+      width: Option[Long],
+      height: Option[Long],
+      target_w: Option[Long],
+      target_h: Option[Long],
+      out_n_bytes: Option[Long],
+      ok: Boolean)
+
+  /** Integer-exact fit-in-box dims (floor scaling, min 1 px) — the
+    * arithmetic is pure BIGINT so the SQL oracle reproduces it.
+    */
+  def fitBox(w: Long, h: Long, maxSide: Long): (Long, Long) =
+    if (w <= maxSide && h <= maxSide) (w, h)
+    else {
+      val m = math.max(w, h)
+      (math.max(1L, w * maxSide / m), math.max(1L, h * maxSide / m))
+    }
+
+  /** Thumbnail pass: parse each JPEG's frame header, compute fit-box
+    * target dims, RE-ENCODE a real (pixel-less) JPEG container at the
+    * target size and re-parse it — `ok` asserts the round trip, so the
+    * operator proves encoder ∘ parser = id, not just arithmetic. The
+    * pixel resample itself is the one deliberately-stubbed step (no
+    * image lib in this environment); everything byte-level is real.
+    * Non-JPEG payloads yield ok=false rows (poison tolerance), never
+    * exceptions. Narrow: mapPartitions, no shuffle.
+    */
+  def thumbnail(spark: SparkSession, media: DataFrame, maxSide: Long = 256L): Dataset[Thumb] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val jpeg = if (bytes == null) None else parseJpeg(bytes)
+          jpeg match {
+            case Some((w, h, _)) =>
+              val (tw, th) = fitBox(w, h, maxSide)
+              val out = synthJpeg(tw, th, 0)
+              val ok = parseJpeg(out).contains((tw, th, 3L))
+              Thumb(id, "jpeg", Some(w), Some(h), Some(tw), Some(th),
+                Some(out.length.toLong), ok)
+            case None =>
+              Thumb(id, "other", None, None, None, None, None, ok = false)
+          }
+        }
+      }
+  }
+
+  /** One frame-sample record: real PCM bytes read back from the data
+    * chunk at every `every`-th frame, summed across channels.
+    */
+  final case class FrameStats(
+      doc_id: Long,
+      kind: String,
+      n_frames: Option[Long],
+      n_sampled: Option[Long],
+      sum_sampled: Option[Long],
+      ok: Boolean)
+
+  /** Frame sampling over WAV payloads: chunk-walk to the data extent,
+    * read the interleaved 16-bit LE samples of frames 0, every,
+    * 2·every, …, and fold them into an exact integer sum — the shape of
+    * a keyframe/audio-feature extraction where only the per-frame
+    * decode is stubbed. Non-WAV payloads yield ok=false rows. Narrow.
+    */
+  def frameSample(spark: SparkSession, media: DataFrame, every: Long = 4L): Dataset[FrameStats] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val wav = if (bytes == null) None else parseWavInfo(bytes)
+          wav match {
+            case Some(w) if w.bits == 16 &&
+                w.dataOff + w.dataSize <= bytes.length =>
+              var f = 0L
+              var sampled = 0L
+              var sum = 0L
+              while (f < w.frames) {
+                var c = 0L
+                while (c < w.channels) {
+                  val off = (w.dataOff + (f * w.channels + c) * 2).toInt
+                  sum += (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+                  c += 1
+                }
+                sampled += 1
+                f += every
+              }
+              FrameStats(id, "wav", Some(w.frames), Some(sampled), Some(sum), ok = true)
+            case _ =>
+              FrameStats(id, "other", None, None, None, ok = false)
+          }
+        }
+      }
+  }
+
   // ---------- deterministic synthetic container fixtures ----------
 
   /** Deterministic REAL container bytes from a doc id: even ids get a
@@ -159,7 +277,7 @@ object Multimodal {
     */
   def syntheticMedia(id: Long): Array[Byte] =
     if (id % 2 == 0) synthJpeg(16 + (id * 7) % 1000, 16 + (id * 13) % 800, (id % 17).toInt)
-    else synthWav(1 + (id / 2) % 2, 8000 + (id % 5) * 4000, 10 + id % 90)
+    else synthWav(1 + (id / 2) % 2, 8000 + (id % 5) * 4000, 10 + id % 90, seed = id)
 
   def synthJpeg(width: Long, height: Long, entropyBytes: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -185,7 +303,18 @@ object Multimodal {
     out.toByteArray
   }
 
-  def synthWav(channels: Long, rate: Long, frames: Long): Array[Byte] = {
+  /** PCM sample value at (frame, channel) for a seeded fixture — the
+    * formula the SQL oracle re-evaluates to predict frame-sample sums.
+    * Small positive values so 16-bit signedness never matters.
+    */
+  def pcmSample(seed: Long, frame: Long, channel: Long): Long =
+    (seed + 7 * frame + 3 * channel) % 251
+
+  /** When `seed >= 0`, the data chunk carries real interleaved PCM
+    * samples from [[pcmSample]] (frame-major, LE shorts); seed < 0
+    * leaves silence.
+    */
+  def synthWav(channels: Long, rate: Long, frames: Long, seed: Long = -1L): Array[Byte] = {
     val dataSize = (frames * channels * 2).toInt
     val out = java.nio.ByteBuffer.allocate(44 + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -198,6 +327,17 @@ object Multimodal {
     out.putShort((channels * 2).toShort)    // block align
     out.putShort(16)                        // bits per sample
     out.put("data".getBytes); out.putInt(dataSize)
+    if (seed >= 0) {
+      var f = 0L
+      while (f < frames) {
+        var c = 0L
+        while (c < channels) {
+          out.putShort(pcmSample(seed, f, c).toShort)
+          c += 1
+        }
+        f += 1
+      }
+    }
     out.array()
   }
 }

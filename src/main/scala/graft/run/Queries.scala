@@ -505,14 +505,33 @@ object Queries {
     * media column), parsed back by the real marker/chunk walkers —
     * the oracle predicts every field from doc_id arithmetic.
     */
-  def mmDecode(spark: SparkSession, dir: String): DataFrame = {
+  /** The synthetic media table: one REAL container (JPEG or WAV) per
+    * doc_id — shared input of the mm_* queries.
+    */
+  private def syntheticMediaDF(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = table(spark, dir, "documents")
+    table(spark, dir, "documents")
       .select(col("doc_id").cast("long")).as[Long]
       .mapPartitions(it => it.map(id => (id, Multimodal.syntheticMedia(id))))
       .toDF("doc_id", "media")
-    Multimodal.decodeMeta(spark, media).toDF()
   }
+
+  def mmDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(spark, syntheticMediaDF(spark, dir)).toDF()
+
+  /** Thumbnail-resize pass over the JPEG payloads: parse → integer
+    * fit-box dims → re-encode a real container → re-parse (ok proves
+    * the round trip). WAV payloads become ok=false rows — the poison
+    * path is part of the contract.
+    */
+  def mmThumbnail(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.thumbnail(spark, syntheticMediaDF(spark, dir)).toDF()
+
+  /** Frame sampling over the WAV payloads: real PCM bytes of every 4th
+    * frame, exact integer sum across channels.
+    */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(spark, syntheticMediaDF(spark, dir)).toDF()
 
   /** Stateful sessionization via the streaming state machine
     * (mapGroupsWithState) run in batch mode — same oracle as the

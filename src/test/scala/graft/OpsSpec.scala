@@ -235,6 +235,41 @@ class OpsSpec extends AnyFunSuite {
     assert(!out(9L).ok && !out(10L).ok)
   }
 
+  test("thumbnail: fit-box dims, re-encoded container round-trips, poison rejected") {
+    // 1200x300 -> long side 1200 scales to 256: (256, 64); small stays
+    assert(Multimodal.fitBox(1200, 300, 256) == ((256L, 64L)))
+    assert(Multimodal.fitBox(30, 42, 256) == ((30L, 42L)))
+    assert(Multimodal.fitBox(300, 1200, 256) == ((64L, 256L)))
+    assert(Multimodal.fitBox(10000, 5, 256) == ((256L, 1L))) // min 1px
+    val media = Seq(
+      (0L, Multimodal.synthJpeg(1200, 300, 9)),
+      (1L, Multimodal.syntheticMedia(1L)), // a WAV — must reject
+      (2L, "junk".getBytes))
+      .toDF("doc_id", "media")
+    val out = Multimodal.thumbnail(spark, media).collect().map(t => t.doc_id -> t).toMap
+    assert(out(0L).ok && out(0L).target_w.contains(256L) && out(0L).target_h.contains(64L) &&
+      out(0L).out_n_bytes.contains(55L))
+    assert(!out(1L).ok && out(1L).kind == "other")
+    assert(!out(2L).ok)
+  }
+
+  test("frame sample: reads back the exact PCM bytes the fixture wrote") {
+    val media = Seq(
+      (3L, Multimodal.syntheticMedia(3L)), // wav: frames=13, ch=2
+      (0L, Multimodal.syntheticMedia(0L))) // jpeg — must reject
+      .toDF("doc_id", "media")
+    val out = Multimodal.frameSample(spark, media, every = 4).collect()
+      .map(f => f.doc_id -> f).toMap
+    val frames = 10L + 3L % 90; val ch = 1L + (3L / 2) % 2
+    val fs = Iterator.iterate(0L)(_ + 4).takeWhile(_ < frames).toSeq
+    val expected = (for { f <- fs; c <- 0L until ch }
+      yield Multimodal.pcmSample(3L, f, c)).sum
+    assert(out(3L).ok && out(3L).n_frames.contains(frames) &&
+      out(3L).n_sampled.contains(fs.size.toLong) &&
+      out(3L).sum_sampled.contains(expected))
+    assert(!out(0L).ok && out(0L).kind == "other")
+  }
+
   // ---------- scale guards ----------
 
   test("ngram Jaccard maxDf guard drops planted boilerplate shingles") {
