@@ -182,7 +182,7 @@ object SparkEntry {
        |  FROM dp GROUP BY vec_id, t)""".stripMargin
   }
 
-  /** LSH ANN top-k (8 tables × 4 bits, exact re-rank). Ends in
+  /** LSH ANN top-k (8 tables × 3 bits, exact re-rank). Ends in
     * `lsh_topk(query_id, rk, neighbor_id, sim)`.
     */
   private val annLshCtes: String = annBucketCtes(8, 3, 64) + ",\n" +

@@ -312,8 +312,13 @@ object Dedup {
     * native codegen expression: the previous `aggregate(zip_with(...))`
     * formulation evaluated its lambdas INTERPRETED (boxed per element,
     * per scored row); [[graft.functions.CosineSim]] is one primitive
-    * loop with the identical addition sequence, so results are
-    * bit-identical and the oracles are untouched.
+    * loop with the identical addition sequence, so for the supported
+    * inputs — equal-length dense ARRAY<FLOAT>, every embedding column
+    * in this engine — results are bit-identical and the oracles are
+    * untouched. Deliberate contract NARROWING vs the old fold: other
+    * numeric array types are now an analysis error (the fold silently
+    * cast), and mismatched lengths score the common prefix (the fold
+    * produced NULL); both were latent misuse, now surfaced.
     */
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSim(a, b)
@@ -381,6 +386,10 @@ object Dedup {
         }
       }
       .toDF("vec_id", "t", "bucket")
+      // persist: both sides of the self-join consume this — without it
+      // the tables×bits plane dot products over the corpus run twice
+      // (same convention as the minhash/simhash signature tables)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))

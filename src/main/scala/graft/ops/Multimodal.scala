@@ -93,7 +93,13 @@ object Multimodal {
   }
 
   /** WAV: verify RIFF/WAVE, walk chunks; fmt → (channels, sampleRate,
-    * bitsPerSample), data → (offset, size).
+    * bitsPerSample), data → (offset, size). Defensive against hostile
+    * headers: chunk sizes stay Long (a 32-bit size ≥ 2³¹ must not
+    * become a zero/negative step — that's an infinite loop on an
+    * executor), the walk stops at the first chunk extending past the
+    * buffer, bits < 8 is rejected (frames would divide by zero), and a
+    * data chunk whose claimed size overruns the payload is invalid —
+    * never report ok with a frame count the bytes can't back.
     */
   def parseWavInfo(b: Array[Byte]): Option[WavInfo] = {
     if (b.length < 44) return None
@@ -104,21 +110,23 @@ object Multimodal {
     var bits = -1L
     var dataOff = -1
     var dataSize = -1L
-    var i = 12
+    var i = 12L
     while (i + 8 <= b.length) {
-      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = u32le(b, i + 4)
+      val ii = i.toInt
+      val id = new String(b, ii, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = u32le(b, ii + 4) // unsigned 32-bit, kept as Long
       if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
-        channels = u16le(b, i + 10).toLong
-        rate = u32le(b, i + 12)
-        bits = u16le(b, i + 22).toLong
+        channels = u16le(b, ii + 10).toLong
+        rate = u32le(b, ii + 12)
+        bits = u16le(b, ii + 22).toLong
       } else if (id == "data") {
-        dataOff = i + 8
+        dataOff = ii + 8
         dataSize = size
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      i += 8 + size + (size & 1) // chunks are word-aligned; Long math
     }
-    if (channels <= 0 || rate <= 0 || bits <= 0 || dataSize < 0) None
+    if (channels <= 0 || rate <= 0 || bits < 8 || dataSize < 0 ||
+        dataOff < 0 || dataOff + dataSize > b.length) None
     else Some(WavInfo(channels, rate, bits, dataOff, dataSize))
   }
 
@@ -140,6 +148,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val n = if (bytes == null) 0L else bytes.length.toLong
+          try {
           if (bytes != null && n >= 2 && bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte) {
             parseJpeg(bytes) match {
               case Some((w, h, nc)) =>
@@ -155,6 +164,10 @@ object Multimodal {
                 MediaMeta(id, "wav", n, None, None, None, None, None, ok = false)
             }
           } else MediaMeta(id, "unknown", n, None, None, None, None, None, ok = false)
+          } catch { // the parsers are defensive, but the contract is absolute
+            case scala.util.control.NonFatal(_) =>
+              MediaMeta(id, "unknown", n, None, None, None, None, None, ok = false)
+          }
         }
       }
   }
@@ -199,7 +212,9 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val jpeg = if (bytes == null) None else parseJpeg(bytes)
+          val jpeg =
+            try { if (bytes == null) None else parseJpeg(bytes) }
+            catch { case scala.util.control.NonFatal(_) => None }
           jpeg match {
             case Some((w, h, _)) =>
               val (tw, th) = fitBox(w, h, maxSide)
@@ -237,10 +252,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val wav = if (bytes == null) None else parseWavInfo(bytes)
+          val wav =
+            try { if (bytes == null) None else parseWavInfo(bytes) }
+            catch { case scala.util.control.NonFatal(_) => None }
           wav match {
-            case Some(w) if w.bits == 16 &&
-                w.dataOff + w.dataSize <= bytes.length =>
+            case Some(w) if w.bits == 16 =>
               var f = 0L
               var sampled = 0L
               var sum = 0L
@@ -248,7 +264,9 @@ object Multimodal {
                 var c = 0L
                 while (c < w.channels) {
                   val off = (w.dataOff + (f * w.channels + c) * 2).toInt
-                  sum += (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+                  // sign-extend: real PCM is signed 16-bit (an unsigned
+                  // read would be off by 65536 per negative sample)
+                  sum += ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort.toLong
                   c += 1
                 }
                 sampled += 1

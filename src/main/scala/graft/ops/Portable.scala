@@ -115,12 +115,15 @@ object Portable {
   /** Sequential-fold dot product, ascending index, accumulated in
     * double — the ONLY dot-product order any operator may use, because
     * it is the order the SQL twin's list_reduce uses. Inputs are float
-    * (parquet) widened exactly to double.
+    * (parquet) widened exactly to double. Folds the common prefix when
+    * lengths differ (an embedding wider than the configured plane dim
+    * must not throw mid-job; same contract as CosineSim).
     */
   def dot(a: Array[Float], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
     var acc = 0.0
     var i = 0
-    while (i < a.length) { acc += a(i).toDouble * b(i); i += 1 }
+    while (i < n) { acc += a(i).toDouble * b(i); i += 1 }
     acc
   }
 
