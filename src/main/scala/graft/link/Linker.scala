@@ -97,8 +97,10 @@ object Linker {
     val thresholdBp = math.round(threshold * 10000).toLong
     linkFeatures(spark, mentions, subjects)
       .filter(col("score_bp") >= thresholdBp)
-      .select(col("subj").as("src"), col("entity_id").as("dst"),
-        (col("score_bp").cast("double") / 10000.0).as("score"))
-      .distinct()
+      // many pages can propose the same (subj, entity) edge at
+      // different evidence levels; keep the BEST score per edge (one
+      // groupBy — the same shuffle a distinct would cost)
+      .groupBy(col("subj").as("src"), col("entity_id").as("dst"))
+      .agg((max(col("score_bp")).cast("double") / 10000.0).as("score"))
   }
 }
