@@ -51,6 +51,7 @@ object SparkEntry {
     "text_quality" -> (Queries.textQuality _),
     "text_langid" -> (Queries.textLangId _),
     "text_fingerprint" -> (Queries.textFingerprint _),
+    "text_vocab_topk" -> (Queries.textVocabTopk _),
     "dedup_exact" -> (Queries.dedupExact _),
     "curation_pipeline" -> (Queries.curationPipeline _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
@@ -549,6 +550,12 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    // (count desc, token) is a total order — the top-20 cut is unique
+    "text_vocab_topk" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,

@@ -361,6 +361,22 @@ object Queries {
     table(spark, dir, "documents")
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
 
+  /** Corpus vocabulary top-k — the tokenizer-training building block:
+    * explode tokens, count, take the global top 20 by (count desc,
+    * token) — a TOTAL order, so the cut is deterministic under ties.
+    * Plan shape at 100 TB: the explode fans out inside the scan stage,
+    * partial aggregation combines per-task before the one shuffle, and
+    * the global top-k is TakeOrderedAndProject (per-partition heads →
+    * driver merge), never a full sort.
+    */
+  def textVocabTopk(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(table(spark, dir, "documents"))
 

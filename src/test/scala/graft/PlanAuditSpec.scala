@@ -103,6 +103,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected partial + final aggregate pair")
   }
 
+  test("text_vocab_topk: global top-k is TakeOrdered, never a full sort") {
+    val p = simplePlan(Queries.textVocabTopk(spark, d))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k after aggregation must be per-partition heads + driver merge")
+    assert(!p.contains("Sort "), "a full sort of the vocabulary is the wrong plan")
+  }
+
   test("q_host_salted_agg: two shuffle-reducing aggregate pairs (salt phase + host phase)") {
     val p = plan(Queries.qHostSaltedAgg(spark, d))
     // two groupBys -> two partial/final pairs; the first keyed on
