@@ -253,6 +253,22 @@ class OpsSpec extends AnyFunSuite {
     assert(!out(2L).ok)
   }
 
+  test("frame sample: negative PCM samples are sign-extended (real audio)") {
+    // silence fixture, then patch the 4 mono frames to [-1, 300, -300, 7]
+    val b = Multimodal.synthWav(channels = 1, rate = 8000, frames = 4)
+    val dataOff = 44
+    def put(frame: Int, v: Short): Unit = {
+      b(dataOff + frame * 2) = (v & 0xff).toByte
+      b(dataOff + frame * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    put(0, -1); put(1, 300); put(2, -300); put(3, 7)
+    val out = Multimodal.frameSample(spark,
+        Seq((1L, b)).toDF("doc_id", "media"), every = 1)
+      .collect().head
+    assert(out.ok && out.sum_sampled.contains(-1L + 300L - 300L + 7L),
+      s"expected signed sum 6, got ${out.sum_sampled}")
+  }
+
   test("frame sample: reads back the exact PCM bytes the fixture wrote") {
     val media = Seq(
       (3L, Multimodal.syntheticMedia(3L)), // wav: frames=13, ch=2
