@@ -38,6 +38,7 @@ object SparkEntry {
     "q_salted_agg" -> (Queries.qSaltedAgg _),
     "q_host_salted_agg" -> (Queries.qHostSaltedAgg _),
     "q5_multi_join" -> (Queries.q5MultiJoin _),
+    "q_doclen_quantiles" -> (Queries.qDoclenQuantiles _),
     // KG construction (SURVEY.md §2.1)
     "kg_triples" -> (Queries.kgTriples _),
     "kg_nq_lines" -> (Queries.kgNqLines _),
@@ -332,6 +333,19 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // integer quantile indexes land both engines on identical rows
+    "q_doclen_quantiles" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT lang, n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY lang) AS cnt FROM t)
+        |SELECT lang,
+        |  CASE WHEN rk - 1 = (cnt - 1) // 2 THEN 'p50' ELSE 'p90' END AS q,
+        |  n_tokens
+        |FROM r WHERE rk - 1 = (cnt - 1) // 2 OR rk - 1 = ((cnt - 1) * 9) // 10""".stripMargin,
 
     // the oracle is the UNsalted groupBy — the two-phase salted plan
     // must be value-identical to the direct aggregation

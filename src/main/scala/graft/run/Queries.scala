@@ -182,6 +182,30 @@ object Queries {
       .groupBy(col("host"))
       .agg(sum(col("pn")).as("n_pages"), sum(col("pc")).as("text_chars"))
 
+  /** Rank-based exact quantiles (p50/p90 of token count per lang):
+    * window sort within each language, pick the rows at the integer
+    * quantile indexes idx_q = ((cnt-1)·q) div 1 — pure integer index
+    * arithmetic, so the oracle lands on the same rows bit-for-bit. At
+    * 100 TB the production form is `approx_percentile` (one pass, no
+    * per-group sort); this exact-rank formulation is its verifiable
+    * twin and the correctness reference you'd validate the sketch
+    * against.
+    */
+  def qDoclenQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n_tokens"), col("doc_id"))
+    val idx50 = expr("(cnt - 1) div 2")
+    val idx90 = expr("((cnt - 1) * 9) div 10")
+    table(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")).cast("long"))
+      .filter(col("rk") - 1 === idx50 || col("rk") - 1 === idx90)
+      .select(col("lang"),
+        when(col("rk") - 1 === idx50, "p50").otherwise("p90").as("q"),
+        col("n_tokens"))
+  }
+
   // ================= KG construction =================
 
   /** The nation table as descriptor "records" (SURVEY.md §2.1 C2-C7
