@@ -56,6 +56,7 @@ object SparkEntry {
     "dedup_exact" -> (Queries.dedupExact _),
     "curation_pipeline" -> (Queries.curationPipeline _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
+    "dedup_ngram_containment" -> (Queries.dedupNgramContainment _),
     "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
     "dedup_minhash_recall" -> (Queries.dedupMinhashRecall _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
@@ -611,6 +612,14 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"""WITH $ngramPairCtes
          |SELECT id_a, id_b, jaccard FROM exact_pairs""".stripMargin,
+
+    // same ipair sufficient statistics, containment measure
+    "dedup_ngram_containment" ->
+      s"""WITH $ngramPairCtes
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / least(sa, sb), 5) AS containment
+         |FROM ipair
+         |WHERE round(CAST(inter AS DOUBLE) / least(sa, sb), 5) >= 0.2""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $minhashCtes

@@ -76,8 +76,11 @@ object Dedup {
     */
   val defaultMaxDf: Long = 10000L
 
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
-      maxDf: Long = defaultMaxDf): DataFrame = {
+  /** Shared inverted-index core: per ordered doc pair, shingle-set
+    * sizes + intersection count — the sufficient statistics for every
+    * set-overlap measure (Jaccard, containment, dice, …).
+    */
+  private def ngramInterCounts(docs: DataFrame, n: Int, maxDf: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // typed shingling + persist: the shingle sets feed both sides of
@@ -104,11 +107,28 @@ object Dedup {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
+      maxDf: Long = defaultMaxDf): DataFrame =
+    ngramInterCounts(docs, n, maxDf)
       .withColumn("jaccard", round(
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 5))
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
-  }
+
+  /** Containment near-dup pairs: |A ∩ B| / min(|A|, |B|) — catches a
+    * document INCLUDED in a larger one (quoted articles, boilerplate
+    * wraps), which Jaccard under-scores because the union is dominated
+    * by the larger doc. Same inverted index, same df guards.
+    */
+  def ngramContainmentPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
+      maxDf: Long = defaultMaxDf): DataFrame =
+    ngramInterCounts(docs, n, maxDf)
+      .withColumn("containment", round(
+        col("inter").cast("double") / least(col("sz_a"), col("sz_b")), 5))
+      .filter(col("containment") >= tau)
+      .select("id_a", "id_b", "containment")
 
   // ---------- MinHash + LSH ----------
 

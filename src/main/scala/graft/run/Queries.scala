@@ -435,6 +435,14 @@ object Queries {
     Dedup.ngramJaccardPairs(table(spark, dir, "documents"), n = 3, tau = 0.12,
       maxDf = Dedup.defaultMaxDf)
 
+  /** Containment catches inclusion (small doc quoted inside a big one)
+    * that Jaccard under-scores; tau sits where this corpus yields a
+    * real-but-bounded pair set (29 at sf0.01, 845 at sf0.1).
+    */
+  def dedupNgramContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(table(spark, dir, "documents"), n = 3, tau = 0.2,
+      maxDf = Dedup.defaultMaxDf)
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(table(spark, dir, "documents"), n = 3, tau = 0.12)
 
