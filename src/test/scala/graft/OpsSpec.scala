@@ -286,6 +286,22 @@ class OpsSpec extends AnyFunSuite {
     assert(!out(0L).ok && out(0L).kind == "other")
   }
 
+  test("containment flags doc-inside-doc inclusion that Jaccard under-scores") {
+    val inner = "alpha beta gamma delta epsilon zeta eta theta"
+    val outer = s"intro words here $inner plus a very long tail " +
+      "one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val docsDf = docs((1L, inner), (2L, outer), (3L, "completely unrelated text about nothing common"))
+    val cont = Dedup.ngramContainmentPairs(docsDf, n = 3, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every shingle of the inner doc appears in the outer -> containment 1.0
+    assert(cont.get((1L, 2L)).contains(1.0))
+    // Jaccard on the same pair is diluted by the outer doc's union
+    val jac = Dedup.ngramJaccardPairs(docsDf, n = 3, tau = 0.0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac((1L, 2L)) < 0.3)
+  }
+
   // ---------- scale guards ----------
 
   test("ngram Jaccard maxDf guard drops planted boilerplate shingles") {
