@@ -110,6 +110,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Sort "), "a full sort of the vocabulary is the wrong plan")
   }
 
+  test("stageB canonical rewrite: broadcast hint is GATED, not unconditional") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val triples = Seq(
+      ("u:b", "p:x", "iri", "u:d", null: String, null: String, "g:g"),
+      ("u:e", "p:x", "literal", "v", null: String, null: String, "g:g"))
+      .toDF("s", "p", "o_kind", "o_lex", "o_datatype", "o_lang", "g")
+    val edges = Seq(("u:a", "u:b"), ("u:c", "u:d")).toDF("src", "dst")
+    // disable size-based broadcasts so the ONLY possible source of a
+    // BroadcastExchange in the plan is our explicit hint
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      // gate OFF (cmap rows > limit=0): must plan a SHUFFLE join — an
+      // unconditional hint here would force-broadcast a canonical map
+      // of any size into every executor (VERDICT round 2 #1)
+      val off = graft.run.Pipeline.stageB(spark, triples, edges,
+        broadcastCanonLimit = 0L)
+      off.collect()
+      val offPlan = off.queryExecution.executedPlan.toString
+      assert(!offPlan.contains("BroadcastHashJoin") && !offPlan.contains("BroadcastExchange"),
+        s"gated-off rewrite must not force a broadcast:\n$offPlan")
+      // gate ON (default limit): the hint fires even below the size
+      // thresholds — proving the broadcast comes from the gate decision
+      val on = graft.run.Pipeline.stageB(spark, triples, edges)
+      on.collect()
+      assert(on.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "small canonical map should broadcast via the gated hint")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("q_host_salted_agg: two shuffle-reducing aggregate pairs (salt phase + host phase)") {
     val p = plan(Queries.qHostSaltedAgg(spark, d))
     // two groupBys -> two partial/final pairs; the first keyed on
