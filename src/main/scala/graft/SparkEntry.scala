@@ -335,7 +335,9 @@ object SparkEntry {
         |  CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY event_type""".stripMargin,
 
-    // integer quantile indexes land both engines on identical rows
+    // integer quantile indexes land both engines on identical rows;
+    // one branch per quantile spec so p50 AND p90 are both always
+    // present, even when a tiny language collapses the two indexes
     "q_doclen_quantiles" ->
       """WITH t AS (SELECT lang, doc_id,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
@@ -343,10 +345,9 @@ object SparkEntry {
         |r AS (SELECT lang, n_tokens,
         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rk,
         |    COUNT(*) OVER (PARTITION BY lang) AS cnt FROM t)
-        |SELECT lang,
-        |  CASE WHEN rk - 1 = (cnt - 1) // 2 THEN 'p50' ELSE 'p90' END AS q,
-        |  n_tokens
-        |FROM r WHERE rk - 1 = (cnt - 1) // 2 OR rk - 1 = ((cnt - 1) * 9) // 10""".stripMargin,
+        |SELECT lang, 'p50' AS q, n_tokens FROM r WHERE rk - 1 = (cnt - 1) // 2
+        |UNION ALL
+        |SELECT lang, 'p90' AS q, n_tokens FROM r WHERE rk - 1 = ((cnt - 1) * 9) // 10""".stripMargin,
 
     // the oracle is the UNsalted groupBy — the two-phase salted plan
     // must be value-identical to the direct aggregation

@@ -316,7 +316,11 @@ object Serializer {
       case "nt" => writeNt(triples, path, gzip)
       case "turtle" | "n3" => writeTurtle(triples, path, gzip)
       case "trig" => writeTrig(triples, path, gzip)
-      case "xml" | "rdfxml" | "pretty-xml" => writeDriverDoc(toRdfXml(triples), path, gzip)
+      // 'pretty-xml' is NOT accepted: the reference's dicts
+      // (src/cattle.py:44-63) don't contain it, and neither does
+      // formatTable — accepting it here while formats/extensions/
+      // formatFor reject it left a half-removed alias (ADVICE round 2)
+      case "xml" | "rdfxml" => writeDriverDoc(toRdfXml(triples), path, gzip)
       case "trix" => writeDriverDoc(toTrix(triples), path, gzip)
       case "json-ld" => writeDriverDoc(toJsonLd(triples), path, gzip)
       case other =>

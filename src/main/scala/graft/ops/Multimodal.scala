@@ -63,6 +63,11 @@ object Multimodal {
     var i = 2
     while (i + 4 <= b.length) {
       if (b(i) != 0xff.toByte) return None
+      // legal per the JPEG spec: any number of 0xFF FILL bytes may pad
+      // before the marker id — skip them or the walk goes misaligned
+      // (ADVICE round 2)
+      while (i + 4 <= b.length && b(i + 1) == 0xff.toByte) i += 1
+      if (i + 4 > b.length) return None
       val marker = b(i + 1) & 0xff
       if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS before any SOF
       if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 } // standalone
@@ -247,6 +252,9 @@ object Multimodal {
     * decode is stubbed. Non-WAV payloads yield ok=false rows. Narrow.
     */
   def frameSample(spark: SparkSession, media: DataFrame, every: Long = 4L): Dataset[FrameStats] = {
+    // caller-code error, not data poison: every <= 0 would never
+    // advance the frame cursor — an infinite loop on an executor
+    require(every > 0, s"frameSample every must be positive, got $every")
     import spark.implicits._
     media.select(col("doc_id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]

@@ -353,4 +353,35 @@ class OpsSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact))
   }
+
+  test("JPEG parser skips 0xFF fill bytes between marker segments (legal padding)") {
+    val base = Multimodal.synthJpeg(100, 50, 0)
+    val idx = base.indices.find(i =>
+      base(i) == 0xff.toByte && base(i + 1) == 0xc0.toByte).get
+    // two fill bytes before the SOF marker: ... FF FF FF C0 ...
+    val padded = base.take(idx) ++ Array(0xff.toByte, 0xff.toByte) ++ base.drop(idx)
+    assert(Multimodal.parseJpeg(padded).contains((100L, 50L, 3L)),
+      "fill bytes must not misalign the marker walk")
+    // trailing fill bytes right before EOI parse cleanly too (no SOF -> None, not crash)
+    val junk = Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xff.toByte)
+    assert(Multimodal.parseJpeg(junk).isEmpty)
+  }
+
+  test("frameSample rejects a non-positive stride (would hang an executor)") {
+    val media = Seq((1L, Array[Byte]())).toDF("doc_id", "media")
+    intercept[IllegalArgumentException] { Multimodal.frameSample(spark, media, every = 0L) }
+    intercept[IllegalArgumentException] { Multimodal.frameSample(spark, media, every = -4L) }
+  }
+
+  test("doclen quantiles: p50 AND p90 rows both present when a tiny lang collapses the indexes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quant").toString
+    Seq((1L, "xx", "one two"), (2L, "xx", "one two three"), (3L, "yy", "a b c d"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.run.Queries.qDoclenQuantiles(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // xx: cnt=2 -> idx50 = idx90 = 0 (the 2-token doc); yy: single doc
+    assert(out == Set(("xx", "p50", 2L), ("xx", "p90", 2L),
+      ("yy", "p50", 4L), ("yy", "p90", 4L)))
+  }
 }
