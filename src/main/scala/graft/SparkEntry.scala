@@ -39,6 +39,8 @@ object SparkEntry {
     "q_host_salted_agg" -> (Queries.qHostSaltedAgg _),
     "q5_multi_join" -> (Queries.q5MultiJoin _),
     "q_doclen_quantiles" -> (Queries.qDoclenQuantiles _),
+    "q_quantile_sketch" -> (Queries.qQuantileSketch _),
+    "q_distinct_sketch" -> (Queries.qDistinctSketch _),
     // KG construction (SURVEY.md §2.1)
     "kg_triples" -> (Queries.kgTriples _),
     "kg_nq_lines" -> (Queries.kgNqLines _),
@@ -348,6 +350,23 @@ object SparkEntry {
         |SELECT lang, 'p50' AS q, n_tokens FROM r WHERE rk - 1 = (cnt - 1) // 2
         |UNION ALL
         |SELECT lang, 'p90' AS q, n_tokens FROM r WHERE rk - 1 = ((cnt - 1) * 9) // 10""".stripMargin,
+
+    // sketch-twin gates (VERDICT round 2, item 2): the oracle predicts
+    // the exact group counts AND within_bound ≡ 1 — the sketch's own
+    // error contract (rank-interval / 3σ envelope), never sketch
+    // internals. A sketch whose error leaves the contract breaks the
+    // hash; the exact twins (q_doclen_quantiles / q_distinct_agg)
+    // remain the validation references.
+    "q_quantile_sketch" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang)
+        |SELECT lang, 'p50' AS q, n, CAST(1 AS BIGINT) AS within_bound FROM c
+        |UNION ALL
+        |SELECT lang, 'p90' AS q, n, CAST(1 AS BIGINT) AS within_bound FROM c""".stripMargin,
+
+    "q_distinct_sketch" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS within_bound
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // the oracle is the UNsalted groupBy — the two-phase salted plan
     // must be value-identical to the direct aggregation
