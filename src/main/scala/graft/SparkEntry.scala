@@ -43,6 +43,7 @@ object SparkEntry {
     "q_distinct_sketch" -> (Queries.qDistinctSketch _),
     // KG construction (SURVEY.md §2.1)
     "kg_triples" -> (Queries.kgTriples _),
+    "kg_csvw_full" -> (Queries.kgCsvwFull _),
     "kg_nq_lines" -> (Queries.kgNqLines _),
     "kg_turtle_blocks" -> (Queries.kgTurtleBlocks _),
     "kg_mentions" -> (Queries.kgMentions _),
@@ -399,6 +400,32 @@ object SparkEntry {
         |  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'iri',
         |  'http://schema.org/Country', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
         |  'http://graft.local/graph/tpch' FROM nation""".stripMargin,
+
+    // C3 typed literal + C8 separator fan-out + C4 csvw:value template,
+    // re-derived relationally: string_split for the multi-valued cell,
+    // string concatenation for the templated literal
+    "kg_csvw_full" ->
+      """WITH pt AS (SELECT p_partkey AS partkey, p_name AS name,
+        |    p_type AS type, p_size AS size FROM part)
+        |SELECT 'http://graft.local/tpch/part/' || CAST(partkey AS VARCHAR) AS s,
+        |  'http://graft.local/def/size' AS p, 'literal' AS o_kind,
+        |  CAST(size AS VARCHAR) AS o_lex,
+        |  'http://www.w3.org/2001/XMLSchema#integer' AS o_datatype,
+        |  CAST(NULL AS VARCHAR) AS o_lang,
+        |  'http://graft.local/graph/part' AS g FROM pt
+        |UNION ALL
+        |SELECT 'http://graft.local/tpch/part/' || CAST(partkey AS VARCHAR),
+        |  'http://graft.local/def/nameWord', 'literal', w.word,
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |  'http://graft.local/graph/part'
+        |FROM pt, LATERAL (SELECT unnest(string_split(name, ' ')) AS word) w
+        |WHERE w.word <> ''
+        |UNION ALL
+        |SELECT 'http://graft.local/tpch/part/' || CAST(partkey AS VARCHAR),
+        |  'http://www.w3.org/2000/01/rdf-schema#label', 'literal',
+        |  'part ' || CAST(partkey AS VARCHAR) || ' is a ' || type,
+        |  CAST(NULL AS VARCHAR), 'en', 'http://graft.local/graph/part'
+        |FROM pt""".stripMargin,
 
     "kg_nq_lines" ->
       """WITH t AS (
