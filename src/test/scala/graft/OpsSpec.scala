@@ -354,6 +354,40 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
   }
 
+  test("PPM parser: netpbm whitespace/comments honored, hostile headers rejected") {
+    import java.nio.charset.StandardCharsets.US_ASCII
+    val ok = Multimodal.parsePpm(Multimodal.synthPpm(5, 3, 7))
+    assert(ok.exists(p => p.width == 5 && p.height == 3 && p.maxval == 255))
+    // comments + arbitrary whitespace between header tokens are legal
+    val commented = "P6 # a comment\n  5\t# another\n 3  \n255\n".getBytes(US_ASCII) ++
+      Array.fill[Byte](45)(1)
+    assert(Multimodal.parsePpm(commented).exists(p => p.width == 5 && p.height == 3))
+    // truncated raster: never report a shape the bytes can't back
+    val short = "P6\n5 3\n255\n".getBytes(US_ASCII) ++ Array.fill[Byte](44)(1)
+    assert(Multimodal.parsePpm(short).isEmpty)
+    // a billion-pixel header must not drive allocation
+    val hostile = "P6\n999999999 999999999\n255\n".getBytes(US_ASCII) ++ Array.fill[Byte](9)(1)
+    assert(Multimodal.parsePpm(hostile).isEmpty)
+    assert(Multimodal.parsePpm("P5\n5 3\n255\n".getBytes(US_ASCII)).isEmpty)
+  }
+
+  test("PPM box-filter resample: exact floor-means on a hand-computed raster; poison rejected") {
+    // 2x2 -> 1x1: channel c output = floor(mean of the 4 block pixels)
+    val px = Array[Byte](
+      1, 10, 100, 2, 20, (200 & 0xff).toByte, // row 0: (x=0) (x=1)
+      3, 30, (210 & 0xff).toByte, 6, 41, (255 & 0xff).toByte) // row 1
+    val media = Seq(
+      (1L, Multimodal.encodePpm(2, 2, px)),
+      (2L, Multimodal.synthJpeg(16, 16, 0))).toDF("doc_id", "media")
+    val out = Multimodal.resamplePpm(spark, media).collect().map(r => r.doc_id -> r).toMap
+    val r1 = out(1L)
+    // ch0: (1+2+3+6)/4 = 3; ch1: (10+20+30+41)/4 = 25; ch2: (100+200+210+255)/4 = 191
+    assert(r1.ok && r1.out_w.contains(1L) && r1.out_h.contains(1L) &&
+      r1.out_sum.contains(3L + 25L + 191L), s"got $r1")
+    val r2 = out(2L) // JPEG payload is poison for the PPM path
+    assert(!r2.ok && r2.kind == "other")
+  }
+
   test("JPEG parser skips 0xFF fill bytes between marker segments (legal padding)") {
     val base = Multimodal.synthJpeg(100, 50, 0)
     val idx = base.indices.find(i =>
