@@ -21,14 +21,21 @@ object EventStream {
   /** Watermarked tumbling-window counts. Batch DataFrames accept the
     * same plan (withWatermark is a no-op in batch), so the batch oracle
     * checks the aggregation itself.
+    *
+    * The grouping key must be the `window(...)` struct ITSELF — taking
+    * `.getField("start")` in the groupBy severs the watermark from the
+    * aggregation key, and Spark then rejects append mode ("streaming
+    * aggregation without watermark"); `ws` is projected AFTER the agg.
+    * Caught by the late-data spec (VERDICT round 2, item 5).
     */
   def windowedCounts(events: DataFrame,
       windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
     events
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen).getField("start").as("ws"), col("event_type"))
+      .groupBy(window(col("ts"), windowLen).as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100).cast("long")).as("sum_value_c"))
+      .select(col("win.start").as("ws"), col("event_type"), col("n"), col("sum_value_c"))
 
   final case class Ev(user_id: Long, event_id: Long, us: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

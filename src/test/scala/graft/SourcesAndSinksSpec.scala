@@ -291,6 +291,87 @@ class SourcesAndSinksSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: watermark drops exactly the rows the 2h bound implies (late-data correctness)") {
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600000L
+    val B = 1700002800000L // hour-aligned epoch ms
+    def ev(id: Long, offMs: Long) =
+      (id, new java.sql.Timestamp(B + offMs), 0L, "t", 1.0)
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val q = EventStream.windowedCounts(
+        stream.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        windowLen = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("latewin")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      // batch 1: two on-time events + one far-future event that pulls
+      // the watermark to 10h15m - 2h = 8h15m
+      stream.addData(Seq(ev(0, 30 * 60000L), ev(1, 90 * 60000L), ev(2, H * 10 + 15 * 60000L)))
+      q.processAllAvailable()
+      // batch 2 (watermark now 8h15m):
+      //  - 45m event: window [0h,1h) ended long before the watermark -> MUST drop
+      //  - 8h05m event: BEHIND the watermark, but its window [8h,9h)
+      //    is still open (end 9h > 8h15m) -> MUST be counted
+      //  - 10h20m on-time event joins the 10h window
+      stream.addData(Seq(ev(3, 45 * 60000L), ev(4, H * 8 + 5 * 60000L), ev(5, H * 10 + 20 * 60000L)))
+      q.processAllAvailable()
+      // two advancing batches: watermark moves to 18h AFTER the first
+      // processes, so the second's pass finalizes the 8h/10h windows
+      stream.addData(Seq(ev(6, H * 20)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(7, H * 20 + 60000L)))
+      q.processAllAvailable()
+
+      val got = spark.table("latewin")
+        .select(col("ws"), col("n")).collect()
+        .map(r => (r.getTimestamp(0).getTime - B, r.getLong(1))).toSet
+      // 0h window: 1 (the 45m row was dropped — a 2 here means the
+      // watermark failed); 8h window: 1 (the behind-watermark-but-
+      // in-bound row was kept — absence means over-dropping); the 20h
+      // windows are still open and must NOT have been emitted
+      assert(got == Set((0L, 1L), (H, 1L), (H * 8, 1L), (H * 10, 2L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("streaming: multi-batch sessionizeUpdates replay converges to the q_events_sessions formulation") {
+    implicit val sqlCtx = spark.sqlContext
+    // the q_events_sessions shape verbatim: 30-min gap, lag-window oracle
+    val events = (0 until 240).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + (i / 4) * 1200000L + (i % 4)),
+        (i % 6).toLong, "t", 1.0)
+    }
+    val batch = events.toDF("event_id", "ts", "user_id", "event_type", "value")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val expected = batch
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("ind",
+        when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("ind")).as("s"), count(lit(1)).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val q = EventStream.sessionizeUpdates(spark,
+        stream.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        gapSec = 1800)
+      .writeStream.format("memory").queryName("sessreplay")
+      .outputMode(OutputModeHelper.update).start()
+    try {
+      // three time-ordered micro-batches; sessions span the boundaries
+      stream.addData(events.take(100)); q.processAllAvailable()
+      stream.addData(events.slice(100, 170)); q.processAllAvailable()
+      stream.addData(events.drop(170)); q.processAllAvailable()
+      val got = spark.table("sessreplay").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._3) }.toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming: checkpointed file pipe resumes exactly-once across restarts") {
     val base = Files.createTempDirectory("filepipe").toString
     val inDir = s"$base/in"; val outDir = s"$base/out"; val ckDir = s"$base/ck"
