@@ -79,7 +79,15 @@ object ConnectedComponents {
     *         node's connected component
     */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25,
-      localThreshold: Long = localEdgeThreshold): DataFrame = {
+      localThreshold: Long = localEdgeThreshold): DataFrame =
+    runCounted(spark, edges, maxIter, localThreshold)._1
+
+  /** [[run]] plus the distributed round count actually executed (0 for
+    * the driver union-find path) — the observable the skew-stress spec
+    * pins to the O(log diameter) bound.
+    */
+  def runCounted(spark: SparkSession, edges: DataFrame, maxIter: Int = 25,
+      localThreshold: Long = localEdgeThreshold): (DataFrame, Int) = {
     import spark.implicits._
     // checkpoint the distinct edge set ONCE: everything downstream
     // re-reads it, and without truncation each action would re-execute
@@ -91,7 +99,7 @@ object ConnectedComponents {
 
     if (e0.count() <= localThreshold) {
       val pairs = e0.as[(String, String)].collect()
-      return localCC(pairs.iterator).toSeq.toDF("node", "comp")
+      return (localCC(pairs.iterator).toSeq.toDF("node", "comp"), 0)
     }
 
     val sym = cut(e0
@@ -136,7 +144,7 @@ object ConnectedComponents {
       comp = jumped
       iter += 1
     }
-    comp
+    (comp, iter)
   }
 
   /** Canonical mapping only for nodes whose canonical differs. */

@@ -65,6 +65,16 @@ object TripleEmitter {
   /** Materialize triples partitioned by bucket + commit lineage rows.
     * Lineage is the completion signal AND the resume index (replaces
     * the reference's delete-the-inputs signal, src/cattle_process.py:18-29).
+    *
+    * Crash-safety contract (orphaned-partition semantics): lineage
+    * commits strictly AFTER the triples append, so a run killed
+    * in between leaves ORPHANED triple rows with no lineage row. The
+    * bucket is then not in [[doneBuckets]], re-runs on resume, and
+    * appends a second copy — tolerated by design, because stage B's
+    * content-identity dedup collapses exact duplicates: the final
+    * triple set converges to the single-shot result (proven by the
+    * mid-write crash spec). The inverse order would be the unsafe one:
+    * a lineage row without its triples silently loses a bucket.
     */
   def writeStage(
       spark: SparkSession,

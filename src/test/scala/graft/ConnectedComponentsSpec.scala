@@ -83,6 +83,53 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("skew stress: power-law graph, hot hub, >=4M edges, distributed loop, O(log d) rounds") {
+    // The north rule's skew case for the one iterative operator: a
+    // web-scale same-as graph is power-law — one giant component with a
+    // hot hub — plus a long tail of small clusters. Generated
+    // DISTRIBUTEDLY (never a driver-side Seq at this size):
+    //   family A (giant + hub): nodes 1..3M, tree edges (i, i/2) and a
+    //     degree-750k hub at node 0 via (i, 0) for i % 4 == 0;
+    //   family B (deep tail): 1000 chains of length 1000 starting at
+    //     10M + k*1000 — diameter 999, the worst case for label travel.
+    // Expected labels are closed-form from the generative model —
+    // exactly what union-find-by-min yields (the oracle at collectible
+    // sizes, pinned by the property test above): uri(0) for family A,
+    // the chain head for family B.
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    def uri(c: org.apache.spark.sql.Column) =
+      concat(lit("u:"), lpad(c.cast("string"), 9, "0"))
+    val n = 3000000L
+    val treeA = spark.range(1L, n + 1)
+      .select(uri($"id").as("src"), uri(expr("id div 2")).as("dst"))
+    val hubA = spark.range(1L, n + 1).filter($"id" % 4 === 0)
+      .select(uri($"id").as("src"), uri(lit(0)).as("dst"))
+    val chainB = spark.range(0L, 1000000L).filter($"id" % 1000 =!= 0)
+      .select(uri($"id" + 10000000L).as("src"), uri($"id" + 10000000L - 1).as("dst"))
+    val edges = treeA.unionByName(hubA).unionByName(chainB)
+    assert(edges.count() >= 4000000L, "fixture must exceed 4M edges")
+
+    val (cc, rounds) = ConnectedComponents.runCounted(spark, edges,
+      maxIter = 25, localThreshold = 0)
+    // fused min-propagation + double pointer jumping quarters the
+    // unresolved distance per round: ceil(log4(diameter 999)) = 5,
+    // +1 convergence-detect, +margin
+    assert(rounds >= 2 && rounds <= 10, s"round count $rounds breaks the O(log d) bound")
+
+    // validate distributively — no 4M-row collect on the driver
+    // (try_cast: node 0 zero-strips to '', a hard error under ANSI cast)
+    val parsed = cc.select(
+      coalesce(expr("try_cast(regexp_replace(node, '^u:0*', '') as bigint)"), lit(0L)).as("id"),
+      $"comp")
+    val expected = when($"id" < 10000000L, uri(lit(0)))
+      .otherwise(uri(($"id" - 10000000L - pmod($"id" - 10000000L, lit(1000))) + 10000000L))
+    val bad = parsed.filter($"comp" =!= expected).count()
+    assert(bad == 0L, s"$bad nodes got a non-union-find label")
+    assert(cc.count() == n + 1 + 1000000L)
+  }
+
   test("result invariant under edge-list partitioning") {
     val edges = (0 until 50).map(i => (f"x${i % 17}%03d", f"x${(i * 7) % 17}%03d"))
     val df1 = edges.toDF("src", "dst").repartition(1)

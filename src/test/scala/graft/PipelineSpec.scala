@@ -77,6 +77,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == oneShot)
   }
 
+  test("mid-write crash: triples landed, lineage not committed -> re-run converges to the identical set") {
+    val dir = Files.createTempDirectory("graft-crash").toString
+    val pages = Fixtures.pages(spark, 60, 5)
+    val c = cfg(Some(dir))
+    val oneShot = toSet(Pipeline.run(spark, pages, c))
+
+    // simulate a run killed BETWEEN the triples append and the lineage
+    // commit inside TripleEmitter.writeStage (triples for two buckets
+    // on disk; no lineage row, no edges — the exact partial state that
+    // write order produces)
+    val crashed = pages.toDF()
+      .filter(pmod(xxhash64(col("url")), lit(8)) < 2).as[graft.model.Page]
+    val (triples, _) = Pipeline.stageA(spark, crashed, c)
+    triples.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("bucket").parquet(s"$dir/triples")
+
+    // resume over the FULL input: orphaned buckets are absent from the
+    // lineage index, so they re-run and append a SECOND copy; stage B's
+    // content dedup collapses the duplicates — convergence, not loss
+    val resumed = toSet(Pipeline.runResumable(spark, pages, c.copy(runId = "r1")))
+    assert(resumed == oneShot)
+
+    // the orphaned copies really are on disk (the re-append happened)…
+    val raw = spark.read.parquet(s"$dir/triples")
+    assert(raw.count() > raw.dropDuplicates(
+      "s", "p", "o_kind", "o_lex", "o_datatype", "o_lang").count())
+    // …and lineage holds exactly one committed row per (bucket, rule-set)
+    val lin = spark.read.parquet(s"$dir/lineage")
+    assert(lin.groupBy("bucket", "rule_set_hash").count().filter($"count" > 1).count() == 0)
+
+    // a further run sees every bucket committed and changes nothing
+    val again = toSet(Pipeline.runResumable(spark, pages, c.copy(runId = "r2")))
+    assert(again == oneShot)
+  }
+
   test("M2 metrics: counters persisted, resume reflected in skip counts") {
     val dir = Files.createTempDirectory("graft-metrics").toString
     val pages = Fixtures.pages(spark, 40, 4)
