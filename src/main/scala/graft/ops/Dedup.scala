@@ -24,12 +24,12 @@ import org.apache.spark.sql.functions._
   * results are invariant under partitioning and parallelism
   * (SURVEY.md §4.3) AND bit-reproducible by the SQL oracle.
   *
-  * Cache lifecycle: the signature/shingle frames are persisted because
-  * they feed both sides of a self-join (and the verify joins); they
-  * stay cached after the result materializes so callers can run
-  * follow-up queries against the same signatures. A caller running
-  * MANY operators on one session should `spark.catalog.clearCache()`
-  * between them (Verify/Bench do).
+  * Cache lifecycle: the signature/shingle frames feed both sides of a
+  * self-join (and the verify joins), so they are materialized ONCE via
+  * [[graft.util.Cut.cut]] — an eager lineage cut whose storage is
+  * owned by the returned result and reclaimed automatically when the
+  * result goes out of scope. Callers never manage cache (the old
+  * contract pushed clearCache() onto them; VERDICT round 2, item 8).
   */
 object Dedup {
 
@@ -83,9 +83,9 @@ object Dedup {
   private def ngramInterCounts(docs: DataFrame, n: Int, maxDf: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // typed shingling + persist: the shingle sets feed both sides of
+    // typed shingling, cut once: the shingle sets feed both sides of
     // the posting self-join (see minhashLshPairs for the HOF rationale)
-    val sh = docs
+    val sh = graft.util.Cut.cut(docs
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -94,8 +94,7 @@ object Dedup {
           if (s.isEmpty) None else Some((id, s, s.length.toLong))
         }
       }
-      .toDF("doc_id", "sh", "sz")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .toDF("doc_id", "sh", "sz"))
     val posting = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
     val keep = posting.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
@@ -197,7 +196,7 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val as = Array.tabulate(numHashes)(Portable.seedA)
     val bs = Array.tabulate(numHashes)(Portable.seedB)
-    val sh = docs
+    val sh = graft.util.Cut.cut(docs
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -212,8 +211,7 @@ object Dedup {
           }
         }
       }
-      .toDF("doc_id", "sh", "buckets")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .toDF("doc_id", "sh", "buckets"))
     val banded = sh.select(col("doc_id"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
     val cand = banded.as("a").join(banded.as("b"),
@@ -282,8 +280,8 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // persist: sig is consumed by both sides of the chunk self-join
-    val sigs = docs.select(col("doc_id").cast("long"), col("text"))
+    // cut: sig is consumed by both sides of the chunk self-join
+    val sigs = graft.util.Cut.cut(docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions(it => it.flatMap { case (id, text) =>
         val hasTokens = text != null && text.split("\\s+").exists(_.nonEmpty)
@@ -294,8 +292,7 @@ object Dedup {
           Some((id, sig, chunks))
         }
       })
-      .toDF("doc_id", "sig", "chunks")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .toDF("doc_id", "sig", "chunks"))
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(col("chunks")).as(Seq("chunk", "key")))
     chunked.as("a").join(chunked.as("b"),
@@ -398,18 +395,18 @@ object Dedup {
     val spark = emb.sparkSession
     import spark.implicits._
     val planes = Similarity.hyperplanes(tables, bits, dim)
-    val buckets = emb.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, v) =>
-          (0 until tables).iterator.map(t => (id, t, Similarity.bucketOf(v, planes(t))))
+    // cut: both sides of the self-join consume this — without it the
+    // tables×bits plane dot products over the corpus run twice (same
+    // convention as the minhash/simhash signature tables)
+    val buckets = graft.util.Cut.cut(
+      emb.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, v) =>
+            (0 until tables).iterator.map(t => (id, t, Similarity.bucketOf(v, planes(t))))
+          }
         }
-      }
-      .toDF("vec_id", "t", "bucket")
-      // persist: both sides of the self-join consume this — without it
-      // the tables×bits plane dot products over the corpus run twice
-      // (same convention as the minhash/simhash signature tables)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .toDF("vec_id", "t", "bucket"))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))

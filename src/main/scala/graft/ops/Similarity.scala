@@ -120,8 +120,10 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val corp = corpus.select(col("vec_id").cast("long"), col("embedding"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cut: the corpus frame feeds seeding, every Lloyd pass, and the
+    // index build; storage is owned by the result (see graft.util.Cut)
+    val corp = graft.util.Cut.cut(
+      corpus.select(col("vec_id").cast("long"), col("embedding")))
 
     // seed centroids: deterministic (lowest vec_ids; cid = rank order)
     var centroids: Array[Array[Double]] = corp.orderBy("vec_id").limit(nLists)

@@ -74,14 +74,16 @@ object Pipeline {
     val records = RuleCompiler.extractFields(withText, ts).withColumn("bucket", bucket)
     val mapped = RuleCompiler.triples(records, ts, ts.graph, passThrough = Seq("bucket"))
 
-    // persist: mentions feed BOTH the schema:mentions triples and the
+    // cut: mentions feed BOTH the schema:mentions triples and the
     // same-as edge join, and those run in separate jobs (edges
     // materialize before stage B's final action) — without this the
     // Aho-Corasick pass re-scans the full page corpus per consumer.
     // The mention set is tiny relative to the pages (hits only), so
-    // this is the cheap side to keep.
-    val mentions = MentionDetector.detect(spark, withText.as[Page], cfg.gazetteer)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // this is the cheap side to keep; storage is owned by the result
+    // (graft.util.Cut), not left in the session cache.
+    val mentions = graft.util.Cut.cut(
+      MentionDetector.detect(spark, withText.as[Page], cfg.gazetteer).toDF())
+      .as[graft.model.Mention]
     val mentionTriples = mentions.toDF()
       .select(
         col("url").as("s"), lit(MENTIONS_P).as("p"), lit("iri").as("o_kind"),

@@ -354,6 +354,28 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
   }
 
+  test("cache lifecycle: operator intermediates are reclaimed once results go out of scope") {
+    val sc = spark.sparkContext
+    def cached() = { System.gc(); Thread.sleep(100); sc.getPersistentRDDs.size }
+    var base = cached()
+    var tries = 0
+    while (cached() < base && tries < 20) { base = cached(); tries += 1 } // settle
+    def runOnce(): Unit = {
+      val d = docs((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w q r"))
+      assert(Dedup.minhashLshPairs(d, tau = 0.1).count() >= 1)
+      assert(Dedup.simhashPairs(d).count() >= 1)
+      // the cut signature frames become unreachable on return
+    }
+    runOnce(); runOnce(); runOnce()
+    // the ContextCleaner is async: poll until the cache drains back to
+    // the baseline — a leak (the old caller-owned persist contract)
+    // would plateau above it and fail here
+    var now = cached()
+    tries = 0
+    while (now > base && tries < 50) { Thread.sleep(200); now = cached(); tries += 1 }
+    assert(now <= base, s"leaked cached RDDs: $now vs baseline $base")
+  }
+
   test("PPM parser: netpbm whitespace/comments honored, hostile headers rejected") {
     import java.nio.charset.StandardCharsets.US_ASCII
     val ok = Multimodal.parsePpm(Multimodal.synthPpm(5, 3, 7))
