@@ -145,6 +145,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_quantile_sketch: mergeable sketch aggregates partial-then-final; no per-group sort") {
+    val p = simplePlan(Queries.qQuantileSketch(spark, d))
+    // percentile_approx is an ObjectHashAggregate — the partial/final
+    // pair IS the one-pass mergeable shape that replaces the exact
+    // query's per-lang window sort at scale
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final sketch aggregate pair:\n$p")
+    assert(!p.contains("Window"), "the sketch path must not sort per group")
+  }
+
+  test("mm_resample: pixel work is one narrow stage — no shuffle") {
+    val p = simplePlan(Queries.mmResample(spark, d))
+    assert(!p.contains("Exchange"),
+      s"parse/filter/re-encode must stay scan-local:\n$p")
+  }
+
   test("q_host_salted_agg: two shuffle-reducing aggregate pairs (salt phase + host phase)") {
     val p = plan(Queries.qHostSaltedAgg(spark, d))
     // two groupBys -> two partial/final pairs; the first keyed on
