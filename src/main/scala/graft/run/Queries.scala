@@ -229,8 +229,12 @@ object Queries {
     */
   def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
     val acc = 100
-    val toks = table(spark, dir, "documents")
-      .select(col("lang"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    // cut the NARROW (lang, n_tokens) frame: both the sketch pass and
+    // the rank-check pass consume it, and re-deriving it would mean a
+    // second full-text scan + tokenize — the cut stores ~16 bytes/row,
+    // a vanishing fraction of the corpus bytes it replaces
+    val toks = graft.util.Cut.cut(table(spark, dir, "documents")
+      .select(col("lang"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")))
     val sk = toks.groupBy("lang").agg(
       percentile_approx(col("n_tokens"), array(lit(0.5), lit(0.9)), lit(acc)).as("ap"),
       count(lit(1)).as("n"))
