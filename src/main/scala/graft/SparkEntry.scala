@@ -55,6 +55,7 @@ object SparkEntry {
     "text_quality" -> (Queries.textQuality _),
     "text_langid" -> (Queries.textLangId _),
     "text_fingerprint" -> (Queries.textFingerprint _),
+    "text_rolling_hash" -> (Queries.textRollingHash _),
     "text_vocab_topk" -> (Queries.textVocabTopk _),
     "dedup_exact" -> (Queries.dedupExact _),
     "curation_pipeline" -> (Queries.curationPipeline _),
@@ -613,6 +614,16 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    // the rolling fold re-derived token by token: portable 31-bit
+    // polynomial token hash, 20-bit truncation, base-1009 Horner mod 2^31-1
+    "text_rolling_hash" ->
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(regexp_extract_all(coalesce(text, ''), '\\S+'),
+         |      t -> ${P.polyhash31Sql("t")} % 1048576)),
+         |    (a, x) -> (a*1009 + x) % 2147483647) AS rh
+         |FROM documents""".stripMargin,
 
     // (count desc, token) is a total order — the top-20 cut is unique
     "text_vocab_topk" ->

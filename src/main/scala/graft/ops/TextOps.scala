@@ -127,15 +127,40 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]+", ""))
 
-  /** Rolling Karp-Rabin hash over tokens (base/mod fixed) — a locality
-    * -preserving fingerprint for shift-tolerant chunk identity. Pure
-    * higher-order-function fold; not SQL-oracle-expressible (rows-only
-    * check). Kept inside [0, 2^31): Spark 4 ANSI mode raises on long
-    * overflow, so the classic wrap-around formulation is off limits.
+  /** Rolling Karp-Rabin hash over tokens — a locality-preserving
+    * fingerprint for shift-tolerant chunk identity:
+    * h := (h·1009 + polyhash31(token) mod 2^20) mod (2^31−1).
+    * Round 3 swapped the token hash from xxhash64 to the PORTABLE
+    * 31-bit polynomial so the DuckDB oracle re-derives it exactly
+    * (`text_rolling_hash` — the last rows-only text op is now
+    * hash-checked). [[rollingHashOf]] is the production path (tight
+    * JVM loop in a typed mapPartitions — HOF lambdas evaluate
+    * interpreted); this Column formulation is its composable
+    * validation twin, property-checked equal. All arithmetic stays
+    * inside [0, 2^41]: Spark 4 ANSI mode raises on long overflow, so
+    * the classic wrap-around formulation is off limits.
     */
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(
-        acc * lit(1009L) + pmod(xxhash64(t), lit(1048576L)),
+        acc * lit(1009L) + pmod(polyhash31Col(t), lit(1048576L)),
         lit(2147483647L)))
+
+  /** Column twin of [[Portable.polyhash31]] (ASCII-exact, like the SQL
+    * twin — Portable scaladoc documents the non-BMP caveat).
+    */
+  private def polyhash31Col(s: Column): Column =
+    aggregate(filter(split(s, ""), ch => ch =!= ""), lit(0L),
+      (a, ch) => pmod(a * 31 + ascii(ch).cast("long"), lit(2147483647L)))
+
+  /** Executor-side rolling hash — identical arithmetic to
+    * [[rollingHash]], as a tight loop for the scan-speed path.
+    */
+  def rollingHashOf(text: String): Long = {
+    if (text == null) return 0L
+    var h = 0L
+    for (t <- text.split("\\s+") if t.nonEmpty)
+      h = (h * 1009L + Portable.polyhash31(t) % 1048576L) % Portable.P31
+    h
+  }
 }

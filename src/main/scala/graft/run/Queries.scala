@@ -496,6 +496,20 @@ object Queries {
     table(spark, dir, "documents")
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
 
+  /** Rolling Karp–Rabin hash per document (shift-tolerant chunk
+    * identity) via the typed scan-speed path; the portable token hash
+    * makes the whole fold SQL-derivable, so the oracle reproduces every
+    * value (round 3 — the last rows-only text op, now hash-checked).
+    */
+  def textRollingHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(it => it.map { case (id, t) => (id, TextOps.rollingHashOf(t)) })
+      .toDF("doc_id", "rh")
+  }
+
   /** Corpus vocabulary top-k — the tokenizer-training building block:
     * explode tokens, count, take the global top 20 by (count desc,
     * token) — a TOTAL order, so the cut is deterministic under ties.

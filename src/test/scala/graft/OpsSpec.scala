@@ -184,6 +184,13 @@ class OpsSpec extends AnyFunSuite {
       .select(TextOps.rollingHash(col("text"))).as[Long].collect()
     assert(rh(0) == rh(1) && rh(0) != rh(2))
     assert(rh.forall(h => h >= 0 && h < 2147483647L))
+    // the Column fold and the typed production loop are the same hash
+    val samples = Seq("a b c", "c b a", "the quick brown fox", "", "  ", "one")
+    val viaCol = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+      .select(TextOps.rollingHash(col("text"))).as[Long].collect().toSeq
+    assert(viaCol == samples.map(TextOps.rollingHashOf),
+      "Column twin must equal the executor-side rolling hash")
   }
 
   test("null/empty text tolerance across ops (real corpora have holes)") {
