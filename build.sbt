@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout — without this, sbt logs
+// every stdout line as "[info] ...", which breaks any consumer parsing
+// Bench's one-line JSON from the process output (the driver's
+// BENCH_r{1,2}.json both show parsed: null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
