@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{SparkSession, functions => F}
+
+import graft.model.Page
+import graft.run.Pipeline
+
+/** `spark-submit` entry point — the north rule's deployment surface
+  * ("run via spark-submit on a multi-executor cluster"): the batch
+  * CLI equivalent of the reference's `/build_convert` service call.
+  *
+  * {{{
+  * spark-submit --class graft.Submit cattlespark_2.13-0.1.0.jar \
+  *   --pages    <parquet dir of (url, warc_ts, html, text, lang)> \
+  *   --out      <output dir: triples/ lineage/ edges/ metrics/ nq/> \
+  *   --descriptor <CSVW-style JSON mapping file> \
+  *   [--gazetteer <file of "surface,entity_id" lines>] \
+  *   [--buckets 256] [--run-id run-0] [--anchor-field country] \
+  *   [--link-threshold 0.9] [--format nquads] [--gzip] \
+  *   [--checkpoint-dir <dir>]   # enables RELIABLE lineage cuts
+  * }}}
+  *
+  * Master/executor topology comes from spark-submit itself (the
+  * builder sets no master when one is provided); running the SAME jar
+  * at N and 4N executors is the scaling protocol BENCH.md measures
+  * with local[N]/local[4N] in this sandbox. The run is bucket-level
+  * resumable: re-submitting after ANY failure (including a kill
+  * between the triples append and the lineage commit —
+  * TripleEmitter.writeStage scaladoc) converges to the identical
+  * triple set. Prints the run metrics as one JSON line.
+  */
+object Submit {
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      require(a.startsWith("--"), s"unexpected argument: $a")
+      if (a == "--gzip") { m += ("gzip" -> "true"); i += 1 }
+      else {
+        require(i + 1 < args.length, s"missing value for $a")
+        m += (a.drop(2) -> args(i + 1)); i += 2
+      }
+    }
+    m.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val o = parseArgs(args)
+    def req(k: String) = o.getOrElse(k, sys.error(s"--$k is required"))
+
+    // under spark-submit the master is injected; standalone (tests,
+    // local runs) falls back to local[*]. Reuse an existing session if
+    // the JVM has one (and then DON'T stop it on exit).
+    val existing = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val spark = existing.getOrElse {
+      val b = SparkSession.builder().appName("graft-submit")
+      (if (sys.props.contains("spark.master")) b else b.master("local[*]")).getOrCreate()
+    }
+    o.get("checkpoint-dir").foreach(spark.sparkContext.setCheckpointDir)
+
+    val gazetteer: Seq[(String, String)] = o.get("gazetteer") match {
+      case Some(f) =>
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          Files.readAllLines(Paths.get(f))).asScala.toSeq
+          .map(_.trim).filter(_.nonEmpty)
+          .map { line =>
+            val i = line.indexOf(',')
+            require(i > 0, s"gazetteer line needs 'surface,entity_id': $line")
+            (line.substring(0, i), line.substring(i + 1))
+          }
+      case None => Nil
+    }
+
+    val cfg = Pipeline.Config(
+      descriptorJson = Files.readString(Paths.get(req("descriptor"))),
+      gazetteer = gazetteer,
+      outDir = Some(req("out")),
+      nBuckets = o.getOrElse("buckets", "256").toInt,
+      runId = o.getOrElse("run-id", "run-0"),
+      linkThreshold = o.getOrElse("link-threshold", "0.9").toDouble,
+      trustText = o.getOrElse("trust-text", "true").toBoolean,
+      anchorField = o.getOrElse("anchor-field", "country"))
+
+    import spark.implicits._
+    val pages = spark.read.parquet(req("pages"))
+      .select(F.col("url").cast("string"), F.col("warc_ts").cast("timestamp"),
+        F.col("html").cast("binary"), F.col("text").cast("string"),
+        F.col("lang").cast("string"))
+      .as[Page]
+
+    val (triples, metrics) = Pipeline.runResumableWithMetrics(spark, pages, cfg)
+    graft.emit.Serializer.write(triples, s"${req("out")}/serialized",
+      o.getOrElse("format", "nquads"), gzip = o.contains("gzip"))
+
+    println(
+      s"""{"run_id":"${metrics.run_id}","rule_set_hash":"${metrics.rule_set_hash}",""" +
+      s""""buckets_done":${metrics.buckets_done},"buckets_skipped":${metrics.buckets_skipped},""" +
+      s""""triples_materialized":${metrics.triples_materialized},"subjects":${metrics.subjects},""" +
+      s""""edges":${metrics.edges},"triples_out":${metrics.triples_out},""" +
+      s""""wall_ms":${metrics.wall_ms}}""")
+
+    if (existing.isEmpty) spark.stop()
+  }
+}

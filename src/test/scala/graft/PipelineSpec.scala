@@ -126,6 +126,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/metrics").count() == 2)
   }
 
+  test("spark-submit surface: Submit.main runs end-to-end, resubmit resumes and converges") {
+    val base = Files.createTempDirectory("graft-submit").toString
+    val pages = Fixtures.pages(spark, 40, 4)
+    pages.toDF().write.parquet(s"$base/pages")
+    Files.writeString(java.nio.file.Paths.get(s"$base/desc.json"), Descriptors.imfJson)
+    Files.writeString(java.nio.file.Paths.get(s"$base/gaz.csv"),
+      Fixtures.gazetteer.map { case (s, e) => s"$s,$e" }.mkString("\n"))
+    def args(runId: String) = Array(
+      "--pages", s"$base/pages", "--out", s"$base/out",
+      "--descriptor", s"$base/desc.json", "--gazetteer", s"$base/gaz.csv",
+      "--buckets", "8", "--run-id", runId)
+
+    Submit.main(args("r1"))
+    val want = TestOracle.expectedAll(40).size
+    assert(spark.read.text(s"$base/out/serialized").count() == want,
+      "serialized N-Quads must equal the golden triple set size")
+    assert(spark.read.parquet(s"$base/out/metrics").count() == 1)
+
+    // resubmit: every bucket already committed — nothing reprocessed,
+    // identical output (the spark-submit face of the resume contract)
+    Submit.main(args("r2"))
+    val m2 = spark.read.parquet(s"$base/out/metrics")
+      .orderBy($"wall_ms".desc).filter($"run_id" === "r2").first()
+    assert(m2.getAs[Long]("buckets_done") == 0L)
+    assert(spark.read.text(s"$base/out/serialized").count() == want)
+  }
+
   test("dedup: duplicating the input does not duplicate triples") {
     val pages = Fixtures.pages(spark, 20, 3)
     val doubled = pages.union(pages)
