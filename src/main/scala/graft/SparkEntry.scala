@@ -35,6 +35,7 @@ object SparkEntry {
     "q_events_window" -> (Queries.qEventsWindow _),
     "q_events_sessions" -> (Queries.qEventsSessions _),
     "q_stateful_sessions" -> (Queries.qStatefulSessions _),
+    "q_events_dedup" -> (Queries.qEventsDedup _),
     "q_salted_agg" -> (Queries.qSaltedAgg _),
     "q_host_salted_agg" -> (Queries.qHostSaltedAgg _),
     "q5_multi_join" -> (Queries.q5MultiJoin _),
@@ -334,6 +335,13 @@ object SparkEntry {
         |SELECT user_id, CAST(SUM(ind) AS BIGINT) AS n_sessions,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM y GROUP BY user_id""".stripMargin,
+
+    // replayed duplicates (every 10th event delivered twice) must
+    // collapse back to the original event set
+    "q_events_dedup" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(FLOOR(value*100) AS BIGINT) AS value_c
+        |FROM events""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -730,4 +730,18 @@ object Queries {
     */
   def qStatefulSessions(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.sessionize(spark, table(spark, dir, "events")).toDF()
+
+  /** Watermarked stream dedup run in batch over a simulated
+    * at-least-once re-delivery (every 10th event delivered twice): the
+    * SAME `dedupedEvents` plan the streaming spec drives incrementally
+    * must collapse the replays back to the original event set — which
+    * is exactly what the oracle states.
+    */
+  def qEventsDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val replayed = ev.unionByName(ev.filter(col("event_id") % 10 === 0))
+    graft.streaming.EventStream.dedupedEvents(replayed)
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("event_type"), cents(col("value")).as("value_c"))
+  }
 }

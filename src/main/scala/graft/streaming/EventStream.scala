@@ -137,6 +137,25 @@ object EventStream {
         col("event_type"),
         floor(col("value") * 100).cast("long").as("value_c"))
 
+  /** Exactly-once-per-key event stream: watermarked duplicate drop —
+    * the STREAMING face of exact dedup (D1). At-least-once sources
+    * (Kafka replays, file re-lands) re-deliver events;
+    * `dropDuplicatesWithinWatermark` drops re-deliveries whose key was
+    * seen within the watermark horizon while keeping state BOUNDED by
+    * that horizon — a plain streaming dropDuplicates would grow state
+    * with every key forever. Spark only accepts the within-watermark
+    * operator on streaming frames, so a BATCH input takes the global
+    * `dropDuplicates` twin (a superset of the horizon guarantee —
+    * batch sees all keys at once); the harness oracle checks that
+    * batch twin, the MemoryStream spec checks the incremental path.
+    */
+  def dedupedEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val ts = events.withColumn("ts", col("ts").cast("timestamp"))
+    if (events.isStreaming)
+      ts.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+    else ts.dropDuplicates("event_id")
+  }
+
   /** Batch-scale sessionization with ZERO per-user buffering: shuffle
     * once on user_id, sort within partitions by (user_id, us,
     * event_id), then stream-fold each user's run in a mapPartitions —
