@@ -48,7 +48,18 @@ object Submit {
     m.toMap
   }
 
+  /** Engine + runtime version string (M1 — the reference shells out to
+    * `cow_tool --version` and renders it in the UI,
+    * /root/reference/src/cattle.py:155-163; never-fails fallback kept).
+    */
+  def version: String =
+    try s"cattlespark 0.1.0 (spark ${org.apache.spark.SPARK_VERSION}, " +
+      s"scala ${scala.util.Properties.versionNumberString}, " +
+      s"rules ${graft.extract.HtmlText.version})"
+    catch { case scala.util.control.NonFatal(_) => "cattlespark ?.??" }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("--version")) { println(version); return }
     val o = parseArgs(args)
     def req(k: String) = o.getOrElse(k, sys.error(s"--$k is required"))
 
