@@ -39,6 +39,7 @@ object SparkEntry {
     "q_salted_agg" -> (Queries.qSaltedAgg _),
     "q_host_salted_agg" -> (Queries.qHostSaltedAgg _),
     "q5_multi_join" -> (Queries.q5MultiJoin _),
+    "q_asof_join" -> (Queries.qAsofJoin _),
     "q_doclen_quantiles" -> (Queries.qDoclenQuantiles _),
     "q_quantile_sketch" -> (Queries.qQuantileSketch _),
     "q_distinct_sketch" -> (Queries.qDistinctSketch _),
@@ -335,6 +336,20 @@ object SparkEntry {
         |SELECT user_id, CAST(SUM(ind) AS BIGINT) AS n_sessions,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM y GROUP BY user_id""".stripMargin,
+
+    // the oracle is DuckDB's NATIVE ASOF JOIN — a dedicated operator
+    // implementation entirely unlike the engine's union-and-carry
+    // window, so agreement is strong evidence for the semantics
+    "q_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type, value FROM events),
+        |p AS (SELECT user_id, us,
+        |    CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS purchase_c
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, us)
+        |SELECT e.user_id, e.event_id,
+        |  COALESCE(p.purchase_c, -1) AS last_purchase_c
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.us >= p.us""".stripMargin,
 
     // replayed duplicates (every 10th event delivered twice) must
     // collapse back to the original event set

@@ -127,6 +127,29 @@ object Queries {
       .agg(sum(col("ind")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** As-of join (graft.ops.AsOf): every event enriched with the
+    * user's most recent purchase amount at or before that event's
+    * time. Right side is pre-aggregated to one row per (user, us) —
+    * the determinism contract — and the DuckDB oracle is a NATIVE
+    * `ASOF LEFT JOIN`, so two completely different formulations
+    * (union-and-carry window vs. DuckDB's dedicated operator) must
+    * agree row-for-row.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("us"))
+      .agg(sum(cents(col("value"))).as("purchase_c"))
+    graft.ops.AsOf.asofJoin(
+        ev.select(col("user_id"), col("event_id"), col("us")),
+        purchases, "user_id", "us", "purchase_c", asofCol = "last_purchase_c")
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("last_purchase_c"), lit(-1L)).as("last_purchase_c"))
+  }
+
   /** TPC-H-Q5-shaped 6-table join: two broadcast dims (nation, region),
     * a selective region filter that must reach the region scan, a date
     * range on orders, and shuffled fact-fact joins on the keys —

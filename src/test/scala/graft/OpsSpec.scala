@@ -361,6 +361,36 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
   }
 
+  test("as-of join: union-and-carry == naive inequality-join oracle; inclusive; null when no prior") {
+    import graft.ops.AsOf
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 35L, 102L), (2L, 5L, 200L),
+      (2L, 50L, 201L), (3L, 7L, 300L))
+      .toDF("k", "ts", "row_id")
+    val right = Seq((1L, 10L, 1000L), (1L, 30L, 1030L), (2L, 49L, 2049L), (9L, 1L, 9001L))
+      .toDF("k", "ts", "v")
+    val got = AsOf.asofJoin(left, right, "k", "ts", "v")
+      .select($"row_id", $"asof_val").as[(Long, Option[Long])].collect().toMap
+    // inclusive at equal ts (row 100), carry across gaps (101), newest
+    // wins (102), null before any right row (200, 300)
+    assert(got == Map(100L -> Some(1000L), 101L -> Some(1000L), 102L -> Some(1030L),
+      200L -> None, 201L -> Some(2049L), 300L -> None))
+
+    // the naive quadratic formulation is the semantic oracle: join on
+    // k with ts_r <= ts_l, keep the max-ts match per left row
+    val naive = left.as("l")
+      .join(right.as("r"), $"l.k" === $"r.k" && $"r.ts" <= $"l.ts", "left")
+      .groupBy($"row_id")
+      .agg(max_by($"r.v", $"r.ts").as("asof_val"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == naive)
+
+    // plan shape: ONE exchange (the key shuffle) and no join node at
+    // all — the property that makes this safe on hot keys at scale
+    val plan = AsOf.asofJoin(left, right, "k", "ts", "v")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"as-of must not plan a join:\n$plan")
+  }
+
   test("cache lifecycle: operator intermediates are reclaimed once results go out of scope") {
     val sc = spark.sparkContext
     def cached() = { System.gc(); Thread.sleep(100); sc.getPersistentRDDs.size }
