@@ -40,6 +40,7 @@ object SparkEntry {
     "q_host_salted_agg" -> (Queries.qHostSaltedAgg _),
     "q5_multi_join" -> (Queries.q5MultiJoin _),
     "q_asof_join" -> (Queries.qAsofJoin _),
+    "q_range_join" -> (Queries.qRangeJoin _),
     "q_doclen_quantiles" -> (Queries.qDoclenQuantiles _),
     "q_quantile_sketch" -> (Queries.qQuantileSketch _),
     "q_distinct_sketch" -> (Queries.qDistinctSketch _),
@@ -336,6 +337,21 @@ object SparkEntry {
         |SELECT user_id, CAST(SUM(ind) AS BIGINT) AS n_sessions,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM y GROUP BY user_id""".stripMargin,
+
+    // the oracle is the plain inequality join DuckDB executes with its
+    // own range strategy — the engine's bin-bucketed equi join must
+    // reproduce it exactly (inclusive bounds)
+    "q_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type FROM events),
+        |w AS (SELECT DISTINCT user_id, us AS w_start,
+        |    us + 3600000000 AS w_end
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT e.user_id, e.event_id,
+        |  CAST(COUNT(w.w_start) AS BIGINT) AS n_windows
+        |FROM e LEFT JOIN w
+        |  ON e.user_id = w.user_id AND e.us >= w.w_start AND e.us <= w.w_end
+        |GROUP BY e.user_id, e.event_id""".stripMargin,
 
     // the oracle is DuckDB's NATIVE ASOF JOIN — a dedicated operator
     // implementation entirely unlike the engine's union-and-carry

@@ -150,6 +150,33 @@ object Queries {
         coalesce(col("last_purchase_c"), lit(-1L)).as("last_purchase_c"))
   }
 
+  /** Bin-bucketed range join (graft.ops.RangeJoin): how many of the
+    * user's purchase windows ([purchase, purchase + 1h]) contain each
+    * event. The bin width equals the window length, so every interval
+    * explodes into ≤ 2 bins and the join is a pure equi join on
+    * (user, bin) — the oracle is DuckDB's inequality join, a
+    * completely different execution strategy that must agree
+    * row-for-row.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = table(spark, dir, "events")
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_type"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("w_start"), (col("us") + hourUs).as("w_end"))
+      .distinct()
+    val matches = graft.ops.RangeJoin.pointInInterval(
+        ev.select(col("user_id"), col("event_id"), col("us")),
+        windows, Seq("user_id"), "us", "w_start", "w_end", binWidth = hourUs)
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(count(lit(1)).as("n_windows"))
+    ev.select(col("user_id"), col("event_id"))
+      .join(matches, Seq("user_id", "event_id"), "left")
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"))
+  }
+
   /** TPC-H-Q5-shaped 6-table join: two broadcast dims (nation, region),
     * a selective region filter that must reach the region scan, a date
     * range on orders, and shuffled fact-fact joins on the keys —

@@ -391,6 +391,36 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("join"), s"as-of must not plan a join:\n$plan")
   }
 
+  test("range join: bin-bucketed equi join == naive inequality join; no nested-loop plan") {
+    import graft.ops.RangeJoin
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 300).map(i => (rnd.nextInt(4).toLong, i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("k", "pid", "ts")
+    val ivs = (0 until 60).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (rnd.nextInt(4).toLong, s, s + rnd.nextInt(250).toLong) // lengths 0..249, bins span >2 too
+    }.toDF("k", "s", "e").distinct()
+
+    val got = RangeJoin.pointInInterval(pts, ivs, Seq("k"), "ts", "s", "e", binWidth = 100L)
+      .select($"pid", $"s", $"e").as[(Long, Long, Long)].collect().toSet
+    val naive = pts.as("p").join(ivs.as("i"),
+        $"p.k" === $"i.k" && $"p.ts" >= $"i.s" && $"p.ts" <= $"i.e")
+      .select($"pid", $"s", $"e").as[(Long, Long, Long)].collect().toSet
+    assert(got == naive, s"missing=${(naive -- got).take(3)} spurious=${(got -- naive).take(3)}")
+    assert(got.nonEmpty)
+
+    // every true pair matched exactly ONCE (points live in one bin)
+    val n = RangeJoin.pointInInterval(pts, ivs, Seq("k"), "ts", "s", "e", binWidth = 100L).count()
+    assert(n == naive.size.toLong)
+
+    // the plan is an equi join on (k, bin) — never a nested loop /
+    // cartesian, which is what the raw BETWEEN predicate plans
+    val plan = RangeJoin.pointInInterval(pts, ivs, Seq("k"), "ts", "s", "e", binWidth = 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must stay an equi join:\n$plan")
+  }
+
   test("cache lifecycle: operator intermediates are reclaimed once results go out of scope") {
     val sc = spark.sparkContext
     def cached() = { System.gc(); Thread.sleep(100); sc.getPersistentRDDs.size }
