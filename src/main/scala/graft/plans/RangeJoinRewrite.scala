@@ -1,0 +1,130 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule rewriting a naive point-in-interval join into the
+  * bin-bucketed equi join of [[graft.ops.RangeJoin]] — the one place
+  * this engine reaches for tier (c) of the custom-operator ladder
+  * (`Rule[LogicalPlan]` + `SparkSessionExtensions`), because only the
+  * optimizer can fix a plan the USER wrote naturally:
+  *
+  * {{{ points.join(intervals, k === k2 && pt >= s && pt <= e) }}}
+  *
+  * has no equi-key on the range predicates, so Catalyst plans a
+  * BroadcastNestedLoopJoin — |L|×|R| comparisons per key. When
+  * `spark.graft.rangejoin.binWidth` is set (> 0), this rule rewrites
+  * any INNER join whose condition contains `pt >= s && pt <= e`
+  * (pt from the left, s/e from the right, integral types) into:
+  *
+  *   Filter(range-preds, Join(left + pt div W, Generate(explode(
+  *     sequence(s div W, e div W)), right), equi-keys + bin = bin))
+  *
+  * — the exact shape of the hand-written operator: intervals explode
+  * into their bins, points land in one bin, the join becomes a hash
+  * join on (keys…, bin), and the original predicates re-verify exact
+  * containment. Semantics are identical (candidates the bins admit
+  * but the range rejects are filtered; null bounds generate no bins,
+  * matching null-comparison join semantics).
+  *
+  * Self-application guard: `injectOptimizerRule` lands this rule in
+  * the operator-optimization FIXPOINT batch, where predicate pushdown
+  * re-inserts the (two-sided) range bounds into the rewritten join's
+  * condition on the next iteration — without a guard the rule re-fires
+  * on its own output every iteration, nesting a Generate per pass
+  * (exponential row blowup; found the hard way as an executor OOM).
+  * A join whose condition already references a `__graft`-bin attribute
+  * is therefore left alone.
+  *
+  * Opt-in by config, never by default: the bin width is a data-scale
+  * decision (pick ~p99 interval length — RangeJoin scaladoc).
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] {
+
+  val BIN_WIDTH_KEY = "spark.graft.rangejoin.binWidth"
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConj(a) ++ splitConj(b)
+    case x         => Seq(x)
+  }
+
+  private def integral(e: Expression): Boolean =
+    e.dataType == LongType || e.dataType == IntegerType
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val width =
+      try conf.getConfString(BIN_WIDTH_KEY, "0").toLong
+      catch { case _: NumberFormatException => 0L }
+    if (width <= 0) return plan
+
+    plan.transform {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if !cond.references.exists(_.name.startsWith("__graft")) =>
+        def leftOnly(e: Expression) =
+          e.references.nonEmpty && e.references.subsetOf(left.outputSet)
+        def rightOnly(e: Expression) =
+          e.references.nonEmpty && e.references.subsetOf(right.outputSet)
+
+        val conjuncts = splitConj(cond)
+        val lowers = conjuncts.collect { // pt >= s
+          case GreaterThanOrEqual(pt, s) if leftOnly(pt) && rightOnly(s) => (pt, s)
+          case LessThanOrEqual(s, pt) if rightOnly(s) && leftOnly(pt)   => (pt, s)
+        }
+        val uppers = conjuncts.collect { // pt <= e
+          case LessThanOrEqual(pt, e) if leftOnly(pt) && rightOnly(e)   => (pt, e)
+          case GreaterThanOrEqual(e, pt) if rightOnly(e) && leftOnly(pt) => (pt, e)
+        }
+        val pair = (for {
+          (pt, s) <- lowers
+          (pt2, e) <- uppers
+          if pt.semanticEquals(pt2) && integral(pt) && integral(s) && integral(e)
+        } yield (pt, s, e)).headOption
+
+        pair match {
+          case None => j
+          case Some((pt, s, e)) =>
+            val w = Literal(width)
+            def divW(x: Expression) = IntegralDivide(Cast(x, LongType), w)
+
+            val ptBin = Alias(divW(pt), "__graft_pt_bin")()
+            val newLeft = Project(left.output :+ ptBin, left)
+
+            val binAttr = AttributeReference("__graft_iv_bin", LongType, nullable = false)()
+            // Sequence is TimeZoneAwareExpression: it is UNRESOLVED
+            // until a timezone is supplied (analysis already ran, so
+            // nothing will fill it for us)
+            val newRight = Generate(
+              Explode(new Sequence(divW(s), divW(e), None,
+                Some(conf.sessionLocalTimeZone))),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(binAttr), child = right)
+
+            val equis = conjuncts.filter {
+              case EqualTo(a, b) =>
+                (leftOnly(a) && rightOnly(b)) || (leftOnly(b) && rightOnly(a))
+              case _ => false
+            }
+            val others = conjuncts.filterNot(equis.contains)
+            val joinCond = (equis :+ EqualTo(ptBin.toAttribute, binAttr)).reduce(And)
+            val rewritten = Join(newLeft, newRight, Inner, Some(joinCond), hint)
+            // the non-equi conjuncts (incl. the range bounds) re-verify
+            // exact containment above the equi join
+            Project(j.output, Filter(others.reduce(And), rewritten))
+        }
+    }
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` — injects the
+  * range-join rewrite into any session's optimizer (the standard
+  * SparkSessionExtensions deployment path; tests use
+  * `experimental.extraOptimizations`, the per-session equivalent).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
+}

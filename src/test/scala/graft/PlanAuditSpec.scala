@@ -161,6 +161,86 @@ class PlanAuditSpec extends AnyFunSuite {
       s"parse/filter/re-encode must stay scan-local:\n$p")
   }
 
+  test("RangeJoinRewrite: BETWEEN joins rewritten to bin-bucketed equi joins (SparkSessionExtensions rule)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 200).map(i => (rnd.nextInt(3).toLong, i.toLong, rnd.nextInt(500).toLong))
+      .toDF("k", "pid", "ts")
+    val ivs = (0 until 40).map { i =>
+      val s = rnd.nextInt(500).toLong; (rnd.nextInt(3).toLong, s, s + rnd.nextInt(120).toLong)
+    }.toDF("k2", "s", "e").distinct()
+
+    def keyed = pts.join(ivs, $"k" === $"k2" && $"ts" >= $"s" && $"ts" <= $"e")
+    def unkeyed = pts.join(ivs, $"ts" >= $"s" && $"ts" <= $"e")
+
+    val saved = spark.experimental.extraOptimizations
+    try {
+      // counterfactuals first (rule not registered): the un-keyed form
+      // is a nested loop; collect both expected row sets
+      val expKeyed = keyed.collect().map(_.toSeq).toSet
+      val expUnkeyed = unkeyed.collect().map(_.toSeq).toSet
+      assert(unkeyed.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+
+      spark.experimental.extraOptimizations = saved :+ graft.plans.RangeJoinRewrite
+      spark.conf.set(graft.plans.RangeJoinRewrite.BIN_WIDTH_KEY, "128")
+
+      // un-keyed: the nested loop becomes an equi join on the bin
+      val u = unkeyed
+      assert(u.collect().map(_.toSeq).toSet == expUnkeyed)
+      val uPlan = u.queryExecution.executedPlan.toString
+      assert(!uPlan.contains("BroadcastNestedLoopJoin") && uPlan.contains("__graft"),
+        s"rewrite must replace the nested loop:\n$uPlan")
+
+      // keyed: the bin joins the key list (hot-key pruning), rows equal
+      val kq = keyed
+      assert(kq.collect().map(_.toSeq).toSet == expKeyed)
+      assert(kq.queryExecution.executedPlan.toString.contains("__graft"),
+        "bin must participate in the keyed join too")
+
+      // conf unset -> rule is a no-op again (opt-in contract)
+      spark.conf.unset(graft.plans.RangeJoinRewrite.BIN_WIDTH_KEY)
+      assert(unkeyed.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    } finally {
+      spark.experimental.extraOptimizations = saved
+      spark.conf.unset(graft.plans.RangeJoinRewrite.BIN_WIDTH_KEY)
+    }
+  }
+
+  test("GraftExtensions: the spark.sql.extensions deployment path applies the rewrite in a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val old = spark // force-init the shared session first
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    // shares the JVM's SparkContext; never .stop() it (that would kill
+    // the context under every other suite). withExtensions exercises
+    // the same GraftExtensions class the static conf
+    // `spark.sql.extensions=graft.plans.GraftExtensions` loads — the
+    // conf route itself needs a FRESH SparkContext (static confs are
+    // ignored on reuse), which one JVM-wide test context can't give us
+    val s2 = SparkSession.builder().master("local[4]")
+      .withExtensions(new graft.plans.GraftExtensions())
+      .config(graft.plans.RangeJoinRewrite.BIN_WIDTH_KEY, "64")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val ptRows = (0 until 80).map(i => (i.toLong, (i * 37 % 300).toLong))
+      val ivRows = (0 until 15).map(i => ((i * 41 % 300).toLong, (i * 41 % 300 + 50).toLong))
+      val pts = ptRows.toDF("pid", "ts")
+      val ivs = ivRows.toDF("s", "e")
+      val q = pts.join(ivs, $"ts" >= $"s" && $"ts" <= $"e")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val want = (for { (p, t) <- ptRows; (s, e) <- ivRows if t >= s && t <= e }
+        yield (p, s)).toSet
+      assert(got == want)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && plan.contains("__graft"),
+        s"extensions-injected rule must fire:\n$plan")
+    } finally {
+      SparkSession.setActiveSession(old); SparkSession.setDefaultSession(old)
+    }
+  }
+
   test("q_host_salted_agg: two shuffle-reducing aggregate pairs (salt phase + host phase)") {
     val p = plan(Queries.qHostSaltedAgg(spark, d))
     // two groupBys -> two partial/final pairs; the first keyed on
