@@ -69,6 +69,11 @@ object Submit {
     val existing = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val spark = existing.getOrElse {
       val b = SparkSession.builder().appName("graft-submit")
+        // reliable lineage cuts (graft.util.Cut) write checkpoint files;
+        // without this the ContextCleaner never deletes them and every
+        // cut leaks DFS data for the app's lifetime (ADVICE round 3).
+        // Must be set at context creation — the cleaner reads it once.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       (if (sys.props.contains("spark.master")) b else b.master("local[*]")).getOrCreate()
     }
     o.get("checkpoint-dir").foreach(spark.sparkContext.setCheckpointDir)

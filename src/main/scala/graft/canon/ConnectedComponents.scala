@@ -62,17 +62,12 @@ object ConnectedComponents {
     nodes.iterator.map(n => n -> find(n))
   }
 
-  /** Lineage cut: RELIABLE `checkpoint` when the session has a
-    * checkpoint dir configured (`spark.sparkContext.setCheckpointDir`)
-    * — the cluster setting, where executor loss must not re-execute
-    * the full upstream pipeline — otherwise `localCheckpoint`
-    * (executor-local blocks; fine single-node, lost with an executor).
-    * Round 1 hardcoded localCheckpoint and left the cluster story as a
-    * comment (VERDICT round 1, item 8); now it's the config.
+  /** Lineage cut for the iterative loop — delegates to
+    * [[graft.util.Cut.cut]]: reliable `checkpoint` under the cluster
+    * config (checkpoint dir + cleanCheckpoints, persisted around the
+    * checkpoint write), executor-local `localCheckpoint` otherwise.
     */
-  private def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+  private def cut(df: DataFrame): DataFrame = graft.util.Cut.cut(df)
 
   /** @param edges DataFrame with string columns (src, dst)
     * @return DataFrame (node, component) — component = min URI in the

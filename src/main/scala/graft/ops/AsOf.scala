@@ -3,22 +3,42 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** As-of (point-in-time) join — the "most recent right row at or
   * before each left row's time, per key" operator the task brief names
   * as a classic gap in Spark's built-in surface.
   *
-  * Implementation is the UNION-AND-CARRY shape, not an inequality
-  * join: tag both sides, union them, and run ONE
-  * `last(value, ignoreNulls)` window ordered by (ts, side) with right
-  * rows sorting before left rows at equal timestamps (inclusive
-  * semantics). Cost at any scale is a single shuffle on the key plus a
-  * per-key sort — Spark's external spillable sort, so a hot key never
-  * materializes in memory. The naive formulation
-  * (`l JOIN r ON l.k = r.k AND r.ts <= l.ts` + windowed max) produces
-  * |matches| ∝ left×right per key BEFORE pruning — quadratic on hot
-  * keys, the plan that dies first at 100 TB; the spec pins this
-  * operator's output equal to that naive oracle at test scale.
+  * Implementation is EPOCH-SLICED UNION-AND-CARRY (VERDICT round 3,
+  * item 2), not an inequality join: tag both sides, union them, slice
+  * time into fixed-width epochs, and run the
+  * `last(row, ignoreNulls)` carry window per (key, epoch) — so a
+  * mega-hot key (one instrument, one user) spreads over
+  * range/epochWidth tasks instead of funnelling through one. Values
+  * that must flow ACROSS slice boundaries travel through a tiny
+  * per-(key, epoch) summary table: one `max_by` aggregation picks each
+  * slice's latest right row, a per-key window over that summary (one
+  * row per slice — small by construction) propagates the carry-in, and
+  * an equi join on (key, epoch) hands it back. Cost at any scale: one
+  * shuffle of the union on (key, epoch), a per-slice spillable sort,
+  * and a join against the summary — never a per-key serial task over
+  * the full key.
+  *
+  * The naive formulation (`l JOIN r ON l.k = r.k AND r.ts <= l.ts` +
+  * windowed max) produces |matches| ∝ left×right per key BEFORE
+  * pruning — quadratic on hot keys, the plan that dies first at
+  * 100 TB; the spec pins this operator's output equal to that naive
+  * oracle at test scale.
+  *
+  * Null contract (ADVICE round 3), matching the naive inequality-join
+  * oracle exactly:
+  *  - right rows with NULL ts are dropped up front — `r.ts <= l.ts`
+  *    never matches a NULL (they used to sort nulls-first and leak
+  *    their value into every left row);
+  *  - a right row with a NULL value IS the match when it is the
+  *    latest: the carry moves whole rows (a non-null struct), so the
+  *    join yields NULL there instead of skipping to an older value;
+  *  - left rows with NULL ts match nothing → NULL.
   *
   * Determinism contract: the right side must be unique per (key, ts) —
   * pre-aggregate duplicates (the harness query does) — otherwise
@@ -28,10 +48,29 @@ import org.apache.spark.sql.functions._
   * @param left  rows to enrich
   * @param right (key, ts, value) rows providing the carried value;
   *              unique per (key, ts)
+  * @param epochWidth slice width in the ts column's integral unit
+  *        (epoch µs for timestamps). THE scale knob: pick it so a hot
+  *        key's rows spread over many slices (e.g. 1 hour of µs for
+  *        event data). ≤ 0 (the default) auto-derives the left ts
+  *        range / 1024 with one extra small aggregation job — fine for
+  *        ad-hoc use; pass it explicitly in pipelines.
   * @return left rows + `asofCol` = value of the most recent right row
   *         with ts_r <= ts_l for the same key (NULL when none)
   */
 object AsOf {
+
+  /** Monotone integral projection of the ts column (epoch µs for
+    * timestamp types, identity otherwise) — epoch slicing only needs
+    * monotonicity, because the carry windows still order by the raw ts.
+    */
+  private def tsLong(df: DataFrame, tsCol: String): Column =
+    df.schema(tsCol).dataType match {
+      case TimestampType    => unix_micros(col(tsCol))
+      // NTZ → instant through the session zone (the engine pins UTC);
+      // any fixed zone keeps the map monotone, which is all binning needs
+      case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
+      case _                => col(tsCol).cast("long")
+    }
 
   def asofJoin(
       left: DataFrame,
@@ -39,22 +78,71 @@ object AsOf {
       keyCol: String,
       tsCol: String,
       valCol: String,
-      asofCol: String = "asof_val"): DataFrame = {
+      asofCol: String = "asof_val",
+      epochWidth: Long = 0L): DataFrame = {
     val valType = right.schema(valCol).dataType
     val leftCols = left.columns
-    val r = right.select(
-      (col(keyCol) +: col(tsCol) +: col(valCol).as("__rval") +: lit(0).as("__side") +:
-        leftCols.filterNot(c => c == keyCol || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)).toSeq): _*)
+
+    val width =
+      if (epochWidth > 0) epochWidth
+      else {
+        val mm = left.select(min(tsLong(left, tsCol)).as("lo"), max(tsLong(left, tsCol)).as("hi"))
+          .collect()(0)
+        if (mm.isNullAt(0)) 1L
+        else math.max(1L, (mm.getLong(1) - mm.getLong(0)) / 1024L)
+      }
+
+    // carry whole rows as a struct: a NULL-valued right row stays a
+    // non-null struct, so `last(..., ignoreNulls)` treats it as the
+    // match instead of skipping past it
+    val r = right
+      .filter(col(tsCol).isNotNull) // NULL ts never satisfies r.ts <= l.ts
+      .select(
+        (col(keyCol) +: col(tsCol) +: struct(col(valCol).as("v")).as("__graft_rrow") +:
+          lit(0).as("__graft_side") +:
+          leftCols.filterNot(c => c == keyCol || c == tsCol)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c)).toSeq): _*)
     val l = left
-      .withColumn("__rval", lit(null).cast(valType))
-      .withColumn("__side", lit(1))
+      .withColumn("__graft_rrow", lit(null).cast(s"struct<v:${valType.sql}>"))
+      .withColumn("__graft_side", lit(1))
     val u = l.unionByName(r)
-    val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("__side"))
+      .withColumn("__graft_tsl", tsLong(left, tsCol))
+      // left rows with NULL ts land in a slice of their own (below all
+      // real epochs) that contains no right rows → carry NULL
+      .withColumn("__graft_epoch",
+        when(col(tsCol).isNull, lit(Long.MinValue))
+          .otherwise(expr(s"__graft_tsl div $width")))
+      .drop("__graft_tsl")
+
+    // ---- within-slice carry: partitioned by (key, epoch) — the
+    // de-funnelled exchange; a hot key spreads over its slices ----
+    val wSlice = Window.partitionBy(col(keyCol), col("__graft_epoch"))
+      .orderBy(col(tsCol), col("__graft_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn(asofCol, last(col("__rval"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    val carried = u.withColumn("__graft_carry",
+      last(col("__graft_rrow"), ignoreNulls = true).over(wSlice))
+
+    // ---- slice summary: ONE row per (key, epoch) of the union — the
+    // latest right row in the slice (max_by ignores left rows via its
+    // null ordering key), or NULL for right-free slices ----
+    val summary = u.groupBy(col(keyCol), col("__graft_epoch"))
+      .agg(max_by(col("__graft_rrow"),
+        when(col("__graft_side") === 0, col(tsCol))).as("__graft_last"))
+    // carry-in = latest right row of any EARLIER slice: a per-key
+    // window, but over the summary (≈ #slices rows per key, small by
+    // construction — this is the "one pass over the tiny slice-summary
+    // table" that replaces the per-key funnel)
+    val wEpoch = Window.partitionBy(col(keyCol)).orderBy(col("__graft_epoch"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = summary
+      .withColumn("__graft_prev", last(col("__graft_last"), ignoreNulls = true).over(wEpoch))
+      .select(col(keyCol), col("__graft_epoch"), col("__graft_prev"))
+
+    carried
+      .filter(col("__graft_side") === 1)
+      .join(carryIn, Seq(keyCol, "__graft_epoch"))
+      .withColumn(asofCol,
+        coalesce(col("__graft_carry"), col("__graft_prev")).getField("v"))
       .select(leftCols.map(col) :+ col(asofCol): _*)
   }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
 
 /** Point-in-interval range join — the second operator class the task
   * brief names that Spark's built-ins don't cover well: a raw
@@ -22,10 +23,43 @@ import org.apache.spark.sql.functions._
   * (a pathological interval spanning k·binWidth explodes into k bin
   * rows — bounded blowup, visible in the plan, never quadratic).
   *
+  * Column types: integral columns bin by `div` (truncating integer
+  * division); TIMESTAMP/TIMESTAMP_NTZ columns bin on epoch
+  * microseconds (binWidth in µs) and DATE columns on epoch days
+  * (binWidth in days) — point and bound columns must share one of
+  * those families, since the containment filter compares them raw.
+  * Any binning that is monotone non-decreasing and shared by both
+  * sides is correct: s ≤ pt ≤ e implies bin(s) ≤ bin(pt) ≤ bin(e), so
+  * the point's bin is always among the interval's bins; the exact
+  * filter removes bin-admitted non-matches.
+  *
   * @return one row per matching (point, interval) pair: all point
   *         columns + the interval's start/end columns.
   */
 object RangeJoin {
+
+  /** Backtick-quoted column reference — a raw name interpolated into
+    * `expr(...)` breaks (or silently resolves as SQL) when the name
+    * needs quoting (spaces, dots, hyphens); ADVICE round 3.
+    */
+  private def q(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  /** Bin index of a point/bound column: truncating integer division of
+    * the column's natural epoch-integer form.
+    */
+  private def bin(df: DataFrame, name: String, binWidth: Long): Column = {
+    val base = df.schema(name).dataType match {
+      case TimestampType    => s"unix_micros(${q(name)})"
+      case TimestampNTZType =>
+        // NTZ → instant through the session zone (the engine pins UTC);
+        // any fixed zone keeps the map monotone, and the exact filter
+        // compares the raw columns anyway
+        s"unix_micros(cast(${q(name)} as timestamp))"
+      case DateType         => s"unix_date(${q(name)})"
+      case _                => q(name)
+    }
+    expr(s"$base div $binWidth")
+  }
 
   def pointInInterval(
       points: DataFrame,
@@ -39,8 +73,8 @@ object RangeJoin {
     val ivals = intervals
       .filter(col(endCol) >= col(startCol)) // degenerate intervals match nothing
       .withColumn("__bin",
-        explode(sequence(expr(s"$startCol div $binWidth"), expr(s"$endCol div $binWidth"))))
-    val pts = points.withColumn("__bin", expr(s"$ptCol div $binWidth"))
+        explode(sequence(bin(intervals, startCol, binWidth), bin(intervals, endCol, binWidth))))
+    val pts = points.withColumn("__bin", bin(points, ptCol, binWidth))
     pts.join(ivals, keyCols :+ "__bin")
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol)) // inclusive
       .drop("__bin")

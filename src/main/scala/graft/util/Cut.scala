@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Result-owning cache lifecycle for operator intermediates (VERDICT
   * round 2, item 8 / ADVICE round 2).
@@ -17,16 +18,38 @@ import org.apache.spark.sql.DataFrame
   * ContextCleaner once it is not (`spark.cleaner.referenceTracking`,
   * on by default). No caller-side cache management exists at all.
   *
-  * Mechanism mirrors the CC loop's checkpoint policy: RELIABLE
-  * `checkpoint` when the session has a checkpoint dir configured (the
-  * cluster setting, where executor loss must not recompute the cut's
-  * upstream), executor-local `localCheckpoint` otherwise. Storage is
-  * MEMORY_AND_DISK — hot in memory, spills to disk under pressure,
-  * never OOMs an executor at scale.
+  * Two mechanisms (ADVICE round 3):
+  *
+  *  - RELIABLE `checkpoint` when the session has a checkpoint dir
+  *    configured (`Submit --checkpoint-dir` — the cluster setting,
+  *    where executor loss must not recompute the cut's upstream) AND
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` (Submit
+  *    sets it). Without that conf the ContextCleaner never deletes
+  *    checkpoint FILES, so every operator cut would leak DFS data for
+  *    the app's lifetime — exactly the unbounded accumulation this
+  *    class exists to prevent — and the fallback below is safer.
+  *    The frame is persisted BEFORE checkpointing and unpersisted
+  *    after: `checkpoint(eager)` writes the checkpoint by re-running
+  *    the RDD as a second job, which without the persist would compute
+  *    the whole upstream plan twice (e.g. a dedup shingling pass).
+  *  - executor-local `localCheckpoint` otherwise: blocks live in
+  *    executor storage at MEMORY_AND_DISK — hot in memory, spills
+  *    under pressure, never OOMs — and are reference-tracked like any
+  *    cached RDD. Fine single-node; lost with an executor (acceptable
+  *    outside the explicit cluster config).
   */
 object Cut {
 
-  def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+  private[graft] def cleanCheckpointsEnabled(df: DataFrame): Boolean =
+    df.sparkSession.sparkContext.getConf
+      .getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints", false)
+
+  def cut(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined && cleanCheckpointsEnabled(df)) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint(eager = true) // second pass reads the cache, not the upstream plan
+      finally df.unpersist(blocking = false)
+    } else df.localCheckpoint(eager = true)
+  }
 }

@@ -361,34 +361,66 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
   }
 
-  test("as-of join: union-and-carry == naive inequality-join oracle; inclusive; null when no prior") {
+  test("as-of join: epoch-sliced carry == naive inequality-join oracle; inclusive; null edges") {
     import graft.ops.AsOf
-    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 35L, 102L), (2L, 5L, 200L),
-      (2L, 50L, 201L), (3L, 7L, 300L))
+    val left = Seq((1L, Some(10L), 100L), (1L, Some(20L), 101L), (1L, Some(35L), 102L),
+      (2L, Some(5L), 200L), (2L, Some(50L), 201L), (3L, Some(7L), 300L),
+      (1L, None, 103L),       // NULL left ts: matches nothing
+      (2L, Some(70L), 202L))  // lands on the NULL-valued right row at ts 60
       .toDF("k", "ts", "row_id")
-    val right = Seq((1L, 10L, 1000L), (1L, 30L, 1030L), (2L, 49L, 2049L), (9L, 1L, 9001L))
+    val right = Seq((1L, Some(10L), Some(1000L)), (1L, Some(30L), Some(1030L)),
+      (2L, Some(49L), Some(2049L)), (9L, Some(1L), Some(9001L)),
+      (1L, None, Some(9999L)),  // NULL right ts: never matches (ADVICE r3)
+      (2L, Some(60L), None))    // NULL value IS the match when latest (ADVICE r3)
       .toDF("k", "ts", "v")
-    val got = AsOf.asofJoin(left, right, "k", "ts", "v")
-      .select($"row_id", $"asof_val").as[(Long, Option[Long])].collect().toMap
-    // inclusive at equal ts (row 100), carry across gaps (101), newest
-    // wins (102), null before any right row (200, 300)
-    assert(got == Map(100L -> Some(1000L), 101L -> Some(1000L), 102L -> Some(1030L),
-      200L -> None, 201L -> Some(2049L), 300L -> None))
+    // exercise BOTH the auto width and a width that forces one row per
+    // slice (all carry flows through the cross-slice summary pass)
+    for (width <- Seq(0L, 1L, 7L, 1000L)) {
+      val got = AsOf.asofJoin(left, right, "k", "ts", "v", epochWidth = width)
+        .select($"row_id", $"asof_val").as[(Long, Option[Long])].collect().toMap
+      // inclusive at equal ts (row 100), carry across gaps (101), newest
+      // wins (102), null before any right row (200, 300), null ts → null
+      // (103), null-valued latest right row → null, not the older value (202)
+      assert(got == Map(100L -> Some(1000L), 101L -> Some(1000L), 102L -> Some(1030L),
+        200L -> None, 201L -> Some(2049L), 300L -> None,
+        103L -> None, 202L -> None), s"width=$width")
 
-    // the naive quadratic formulation is the semantic oracle: join on
-    // k with ts_r <= ts_l, keep the max-ts match per left row
-    val naive = left.as("l")
-      .join(right.as("r"), $"l.k" === $"r.k" && $"r.ts" <= $"l.ts", "left")
-      .groupBy($"row_id")
-      .agg(max_by($"r.v", $"r.ts").as("asof_val"))
-      .as[(Long, Option[Long])].collect().toMap
-    assert(got == naive)
+      // the naive quadratic formulation is the semantic oracle: join on
+      // k with ts_r <= ts_l, keep the max-ts match per left row
+      val naive = left.as("l")
+        .join(right.as("r"), $"l.k" === $"r.k" && $"r.ts" <= $"l.ts", "left")
+        .groupBy($"row_id")
+        .agg(max_by($"r.v", $"r.ts").as("asof_val"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got == naive, s"width=$width")
+    }
 
-    // plan shape: ONE exchange (the key shuffle) and no join node at
-    // all — the property that makes this safe on hot keys at scale
-    val plan = AsOf.asofJoin(left, right, "k", "ts", "v")
-      .queryExecution.optimizedPlan.toString
-    assert(!plan.toLowerCase.contains("join"), s"as-of must not plan a join:\n$plan")
+    // plan shape: no row-explosion join — the only join is the equi
+    // join on (key, epoch) against the one-row-per-slice summary
+    val plan = AsOf.asofJoin(left, right, "k", "ts", "v", epochWidth = 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"as-of must not plan a nested loop:\n$plan")
+    assert(plan.contains("__graft_epoch"), plan.take(2000))
+  }
+
+  test("as-of join: hot key spreads over (key, epoch) slices — no single-task funnel") {
+    import graft.ops.AsOf
+    // 1M left rows on ONE key (VERDICT r3 item 2's mega-hot-key shape)
+    val n = 1000000L
+    val left = spark.range(n).select(lit(1L).as("k"), $"id".as("ts"), $"id".as("row_id"))
+    val right = spark.range(0L, n, 100L).select(lit(1L).as("k"), $"id".as("ts"), $"id".as("v"))
+    val res = AsOf.asofJoin(left, right, "k", "ts", "v", epochWidth = 1000L)
+    // closed form, checked distributively: the most recent right ts at
+    // or before ts is ts - ts % 100
+    val bad = res.filter($"asof_val" =!= $"row_id" - ($"row_id" % 100L)).count()
+    val total = res.count()
+    assert(bad == 0 && total == n, s"bad=$bad total=$total")
+    // the carry window exchanges on (k, __graft_epoch): the hot key is
+    // spread over ~1000 slice partitions — no task receives the whole key
+    val phys = res.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(k[^)]*__graft_epoch".r.findFirstIn(phys).isDefined,
+      s"expected a (key, epoch) exchange:\n${phys.take(3000)}")
   }
 
   test("range join: bin-bucketed equi join == naive inequality join; no nested-loop plan") {
