@@ -41,6 +41,7 @@ object SparkEntry {
     "q5_multi_join" -> (Queries.q5MultiJoin _),
     "q_asof_join" -> (Queries.qAsofJoin _),
     "q_range_join" -> (Queries.qRangeJoin _),
+    "q_range_join_ts" -> (Queries.qRangeJoinTs _),
     "q_doclen_quantiles" -> (Queries.qDoclenQuantiles _),
     "q_quantile_sketch" -> (Queries.qQuantileSketch _),
     "q_distinct_sketch" -> (Queries.qDistinctSketch _),
@@ -351,6 +352,19 @@ object SparkEntry {
         |  CAST(COUNT(w.w_start) AS BIGINT) AS n_windows
         |FROM e LEFT JOIN w
         |  ON e.user_id = w.user_id AND e.us >= w.w_start AND e.us <= w.w_end
+        |GROUP BY e.user_id, e.event_id""".stripMargin,
+
+    // same join driven by the raw TIMESTAMP columns (the engine bins
+    // them on epoch µs internally); DuckDB again executes the plain
+    // timestamp inequality join
+    "q_range_join_ts" ->
+      """WITH w AS (SELECT DISTINCT user_id, ts AS w_start,
+        |    ts + INTERVAL 1 HOUR AS w_end
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.user_id, e.event_id,
+        |  CAST(COUNT(w.w_start) AS BIGINT) AS n_windows
+        |FROM events e LEFT JOIN w
+        |  ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts <= w.w_end
         |GROUP BY e.user_id, e.event_id""".stripMargin,
 
     // the oracle is DuckDB's NATIVE ASOF JOIN — a dedicated operator

@@ -207,6 +207,44 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("RangeJoinRewrite: fires on raw TIMESTAMP columns; reversed bounds guarded (r3 gaps)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hourUs = 3600000000L
+    // points every 6 minutes over 10 hours; half-hour intervals each hour
+    val pts = spark.range(100).select($"id".as("pid"),
+      timestamp_micros($"id" * 360000000L).as("ts"))
+    val good = spark.range(12).select(
+      timestamp_micros($"id" * hourUs).as("s"),
+      timestamp_micros($"id" * hourUs + 1800000000L).as("e"))
+    // one REVERSED-bounds row (end < start, span ≈ 2.4e9 bins): without
+    // the guard its DESCENDING sequence exceeds the max array length and
+    // the rewritten query crashes where the nested loop matched nothing
+    // (ADVICE round 3)
+    val ivs = good.union(spark.range(1).select(
+      timestamp_micros(lit(8500000000000000000L)).as("s"),
+      timestamp_micros(lit(0L)).as("e")))
+
+    def q = pts.join(ivs, $"ts" >= $"s" && $"ts" <= $"e")
+
+    val saved = spark.experimental.extraOptimizations
+    try {
+      // counterfactual: timestamp BETWEEN joins plan a nested loop
+      val expected = q.collect().map(_.toSeq).toSet
+      assert(q.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+
+      spark.experimental.extraOptimizations = saved :+ graft.plans.RangeJoinRewrite
+      spark.conf.set(graft.plans.RangeJoinRewrite.BIN_WIDTH_KEY, hourUs.toString)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && plan.contains("__graft"),
+        s"rewrite must fire on raw timestamps:\n$plan")
+      assert(q.collect().map(_.toSeq).toSet == expected) // incl. guard: completes, 0 rows from the reversed interval
+    } finally {
+      spark.experimental.extraOptimizations = saved
+      spark.conf.unset(graft.plans.RangeJoinRewrite.BIN_WIDTH_KEY)
+    }
+  }
+
   test("GraftExtensions: the spark.sql.extensions deployment path applies the rewrite in a fresh session") {
     import org.apache.spark.sql.SparkSession
     val old = spark // force-init the shared session first
