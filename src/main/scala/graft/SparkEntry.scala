@@ -48,6 +48,7 @@ object SparkEntry {
     // KG construction (SURVEY.md §2.1)
     "kg_triples" -> (Queries.kgTriples _),
     "kg_csvw_full" -> (Queries.kgCsvwFull _),
+    "kg_csvw_dates" -> (Queries.kgCsvwDates _),
     "kg_nq_lines" -> (Queries.kgNqLines _),
     "kg_turtle_blocks" -> (Queries.kgTurtleBlocks _),
     "kg_mentions" -> (Queries.kgMentions _),
@@ -481,6 +482,30 @@ object SparkEntry {
         |  'part ' || CAST(partkey AS VARCHAR) || ' is a ' || type,
         |  CAST(NULL AS VARCHAR), 'en', 'http://graft.local/graph/part'
         |FROM pt""".stripMargin,
+
+    // datatype object form {"base","format"}: the engine parses cells
+    // arriving in declared non-ISO formats and emits XSD CANONICAL
+    // lexical forms, which strftime re-derives straight from the
+    // original timestamp column (round-trip is lossless by design)
+    "kg_csvw_dates" ->
+      """SELECT 'http://graft.local/tpch/order/' || CAST(o_orderkey AS VARCHAR) AS s,
+        |  'http://graft.local/def/orderDate' AS p, 'literal' AS o_kind,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_lex,
+        |  'http://www.w3.org/2001/XMLSchema#date' AS o_datatype,
+        |  CAST(NULL AS VARCHAR) AS o_lang,
+        |  'http://graft.local/graph/order' AS g FROM orders
+        |UNION ALL
+        |SELECT 'http://graft.local/tpch/order/' || CAST(o_orderkey AS VARCHAR),
+        |  'http://graft.local/def/orderInstant', 'literal',
+        |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'),
+        |  'http://www.w3.org/2001/XMLSchema#dateTime', CAST(NULL AS VARCHAR),
+        |  'http://graft.local/graph/order' FROM orders
+        |UNION ALL
+        |SELECT 'http://graft.local/tpch/order/' || CAST(o_orderkey AS VARCHAR),
+        |  'http://graft.local/def/orderYear', 'literal',
+        |  strftime(o_orderdate, '%Y'),
+        |  'http://www.w3.org/2001/XMLSchema#gYear', CAST(NULL AS VARCHAR),
+        |  'http://graft.local/graph/order' FROM orders""".stripMargin,
 
     "kg_nq_lines" ->
       """WITH t AS (

@@ -122,6 +122,35 @@ object RuleCompiler {
     }
   }
 
+  /** XSD date-family bases → (canonical output pattern). CSVW formats
+    * are the Unicode date-pattern family, which is also Spark's
+    * datetime pattern family — the descriptor's `format` feeds
+    * `try_to_timestamp` directly (null on a malformed cell, which the
+    * null-suppression path then drops, the CSVW "invalid cell" rule).
+    */
+  private val canonicalPatterns: Map[String, String] = Map(
+    "date"       -> "yyyy-MM-dd",
+    "dateTime"   -> "yyyy-MM-dd'T'HH:mm:ss",
+    "time"       -> "HH:mm:ss",
+    "gYear"      -> "yyyy",
+    "gYearMonth" -> "yyyy-MM")
+
+  /** Canonical lexical form for a date-family typed literal (datatype
+    * object form `{"base","format"}` — VERDICT round 3, next #6): parse
+    * with the declared format (ISO when absent) and re-emit the XSD
+    * canonical form. Non-date datatypes pass through unchanged.
+    */
+  def canonicalLex(cs: ColumnSpec, c: Column): Column =
+    cs.datatype.map(d => d.stripPrefix("xsd:")).flatMap(canonicalPatterns.get) match {
+      case None => c
+      case Some(outPat) =>
+        val parsed = cs.datatypeFormat match {
+          case Some(f) => try_to_timestamp(c, lit(f))
+          case None    => try_to_timestamp(c, lit(outPat)) // already-canonical input
+        }
+        date_format(parsed, outPat)
+    }
+
   // ---- per-column triple generator (C2..C8) ----
 
   private def resolveIri(ts: TableSpec, s: String): String = {
@@ -170,7 +199,9 @@ object RuleCompiler {
         val (o, refs) = compileTemplate(cv, encode = false)
         (mkStruct("literal", o, dtCol, langCol), refs, lit(true))
       case (None, None) => // regular column literal (C3)
-        val v = effectiveValue(cs)
+        val v = canonicalLex(cs, effectiveValue(cs))
+        // keep is computed on the CANONICAL value: a cell the declared
+        // format can't parse is an invalid cell → suppressed (C6)
         (mkStruct("literal", v, dtCol, langCol), Set.empty[String], v.isNotNull)
     }
 
@@ -186,9 +217,12 @@ object RuleCompiler {
     val emptyArr = slice(array(st), 1, 0)
     cs.separator match {
       case Some(sep) if cs.valueUrl.isEmpty && cs.csvwValue.isEmpty =>
-        // C8: multi-valued cell → one triple per non-empty part
+        // C8: multi-valued cell → one triple per non-empty part; each
+        // part canonicalized independently (unparseable parts dropped)
         val parts = split(effectiveValue(cs), java.util.regex.Pattern.quote(sep))
-        val kept = filter(parts, v => v.isNotNull && (v =!= ""))
+        val kept = filter(
+          transform(filter(parts, v => v.isNotNull && (v =!= "")), v => canonicalLex(cs, v)),
+          v => v.isNotNull)
         val arr = transform(kept, v =>
           struct(subj.as("s"), pred.as("p"), lit("literal").as("o_kind"),
             v.as("o_lex"), dtCol.as("o_datatype"), langCol.as("o_lang")))

@@ -426,6 +426,38 @@ object Queries {
     RuleCompiler.triples(records, ts, ts.graph)
   }
 
+  /** Datatype OBJECT form (`{"base","format"}` — VERDICT round 3, next
+    * #6): three derived date datatypes over the same order-date cell.
+    * Input cells arrive in descriptor-declared non-ISO formats
+    * (`dd/MM/yyyy`, `MM/dd/yyyy HH:mm:ss`, bare `yyyy`); the compiled
+    * mapping parses each with its format and emits the XSD CANONICAL
+    * lexical form, which the oracle re-derives with DuckDB strftime.
+    */
+  val csvwDatesDescriptor: String =
+    """{
+      |  "@base": "http://graft.local/tpch/",
+      |  "aboutUrl": "order/{orderkey}",
+      |  "graph": "http://graft.local/graph/order",
+      |  "tableSchema": { "columns": [
+      |    { "name": "odate", "propertyUrl": "http://graft.local/def/orderDate",
+      |      "datatype": { "base": "date", "format": "dd/MM/yyyy" } },
+      |    { "name": "odt", "propertyUrl": "http://graft.local/def/orderInstant",
+      |      "datatype": { "base": "dateTime", "format": "MM/dd/yyyy HH:mm:ss" } },
+      |    { "name": "oyear", "propertyUrl": "http://graft.local/def/orderYear",
+      |      "datatype": { "base": "gYear", "format": "yyyy" } }
+      |  ] }
+      |}""".stripMargin
+
+  def kgCsvwDates(spark: SparkSession, dir: String): DataFrame = {
+    val ts = TableSpec.fromJson(csvwDatesDescriptor)
+    val records = table(spark, dir, "orders").select(
+      col("o_orderkey").as("orderkey"),
+      date_format(col("o_orderdate"), "dd/MM/yyyy").as("odate"),
+      date_format(col("o_orderdate"), "MM/dd/yyyy HH:mm:ss").as("odt"),
+      date_format(col("o_orderdate"), "yyyy").as("oyear"))
+    RuleCompiler.triples(records, ts, ts.graph)
+  }
+
   /** N-Quads serialization of the mapped triples (reference-native
     * output, src/cattle.py:301).
     */

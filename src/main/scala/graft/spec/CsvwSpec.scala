@@ -36,6 +36,13 @@ final case class ColumnSpec(
     valueUrl: Option[String] = None,
     csvwValue: Option[String] = None,
     datatype: Option[String] = None,
+    /** CSVW derived-datatype object form `{"base": ..., "format": ...}`
+      * (open descriptor vocabulary — the reference round-trips any
+      * datatype value, ruminator.js:341-352): the cell is parsed with
+      * `format` (Unicode date-pattern family, which is also Spark's)
+      * and emitted in the XSD type's CANONICAL lexical form.
+      */
+    datatypeFormat: Option[String] = None,
     lang: Option[String] = None,
     nullValues: Seq[String] = Seq(""),
     default: Option[String] = None,
@@ -114,6 +121,14 @@ object TableSpec {
     val colsNode = Option(root.get("tableSchema")).flatMap(t => Option(t.get("columns")))
       .orElse(Option(root.get("columns")))
     val columns = colsNode.toSeq.flatMap(_.elements().asScala).map { c =>
+      // datatype: plain string ("xsd:integer") or the derived-datatype
+      // object form {"base": "date", "format": "dd/MM/yyyy"}
+      val dtNode = Option(c.get("datatype")).filter(!_.isNull)
+      val (dtBase, dtFormat) = dtNode match {
+        case Some(d) if d.isObject => (optStr(d, "base"), optStr(d, "format"))
+        case Some(d)               => (Some(d.asText), None)
+        case None                  => (None, None)
+      }
       ColumnSpec(
         name = optStr(c, "name").getOrElse(""),
         virtual = Option(c.get("virtual")).exists(_.asBoolean(false)),
@@ -121,7 +136,8 @@ object TableSpec {
         propertyUrl = optStr(c, "propertyUrl"),
         valueUrl = optStr(c, "valueUrl"),
         csvwValue = optStr(c, "csvw:value").orElse(optStr(c, "value")),
-        datatype = optStr(c, "datatype"),
+        datatype = dtBase,
+        datatypeFormat = dtFormat,
         lang = optStr(c, "lang"),
         nullValues = Option(c.get("null")).map {
           case a if a.isArray => a.elements().asScala.map(_.asText).toSeq

@@ -109,6 +109,33 @@ class RuleCompilerSpec extends AnyFunSuite {
         "http://www.w3.org/2001/XMLSchema#string", null, "http://g/")))
   }
 
+  test("datatype object form: declared format → XSD canonical lexical; malformed cell suppressed") {
+    val json =
+      """{ "@base": "http://b/", "aboutUrl": "s/{id}", "graph": "http://g/",
+        |  "columns": [
+        |    { "name": "d", "propertyUrl": "http://p/d",
+        |      "datatype": { "base": "date", "format": "dd/MM/yyyy" } },
+        |    { "name": "y", "propertyUrl": "http://p/y",
+        |      "datatype": { "base": "gYear", "format": "yyyy" } }
+        |  ]}""".stripMargin
+    val ts = TableSpec.fromJson(json)
+    // parse check: object form populates base + format
+    assert(ts.columns.head.datatype.contains("date") &&
+      ts.columns.head.datatypeFormat.contains("dd/MM/yyyy"))
+    val df = Seq(
+      ("1", "02/03/1996", "1996"),
+      ("2", "not-a-date", "1997"), // invalid cell → the d triple is suppressed (C6)
+      ("3", "31/12/2001", "2001")).toDF("id", "d", "y")
+    val got = rowsToSet(RuleCompiler.triples(df, ts, "http://g/").collect())
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    assert(got == Set(
+      ("http://b/s/1", "http://p/d", "literal", "1996-03-02", xsd + "date", null, "http://g/"),
+      ("http://b/s/3", "http://p/d", "literal", "2001-12-31", xsd + "date", null, "http://g/"),
+      ("http://b/s/1", "http://p/y", "literal", "1996", xsd + "gYear", null, "http://g/"),
+      ("http://b/s/2", "http://p/y", "literal", "1997", xsd + "gYear", null, "http://g/"),
+      ("http://b/s/3", "http://p/y", "literal", "2001", xsd + "gYear", null, "http://g/")))
+  }
+
   test("nq line formatting + escaping") {
     import graft.emit.TripleEmitter
     val df = Seq(
