@@ -77,6 +77,7 @@ object SparkEntry {
     "sim_ann_lsh" -> (Queries.simAnnLsh _),
     "sim_ann_lsh_recall" -> (Queries.simAnnLshRecall _),
     "sim_ann_ivf" -> (Queries.simAnnIvf _),
+    "sim_ann_ivf_lloyd" -> (Queries.simAnnIvfLloyd _),
     "sim_ann_ivf_recall" -> (Queries.simAnnIvfRecall _),
     "mm_decode" -> (Queries.mmDecode _),
     "mm_thumbnail" -> (Queries.mmThumbnail _),
@@ -209,15 +210,19 @@ object SparkEntry {
        |lsh_topk AS (SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, sim
        |  FROM lrk WHERE rk <= 5)""".stripMargin
 
-  /** IVF top-k with seed centroids (iters=0): 16 lowest-vec_id
-    * centroids, argmax assignment by (round5 cosine DESC, cid ASC),
-    * nprobe=4 probing, exact re-rank. Ends in `ivf_topk`.
+  /** The embeddings relation + the 16 lowest-vec_id seed centroids
+    * (cid = rank order), named `name`.
     */
-  private val annIvfCtes: String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-       |  FROM e ORDER BY vec_id LIMIT 16),
-       |iasg AS (SELECT vec_id, v, cid,
+  private def ivfSeedCte(name: String): String =
+    s"""$name AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |  FROM e ORDER BY vec_id LIMIT 16)""".stripMargin
+
+  /** IVF search over whatever `cent(cid, cv)` is in scope: argmax
+    * assignment by (round5 cosine DESC, cid ASC), nprobe=4 probing,
+    * exact re-rank. Ends in `ivf_topk`.
+    */
+  private val ivfSearchTail: String =
+    s"""iasg AS (SELECT vec_id, v, cid,
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY round(${P.cosineSql("v", "cv", 64)}, 5) DESC, cid) AS r
        |  FROM e CROSS JOIN cent),
@@ -233,6 +238,38 @@ object SparkEntry {
        |    ORDER BY sim DESC, neighbor_id) AS rk FROM isc),
        |ivf_topk AS (SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, sim
        |  FROM irk WHERE rk <= 5)""".stripMargin
+
+  /** IVF top-k with seed centroids (iters=0). */
+  private val annIvfCtes: String =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n" +
+      ivfSeedCte("cent") + ",\n" + ivfSearchTail
+
+  /** IVF top-k after ONE Lloyd refinement step (iters=1) — the
+    * production configuration, re-derived relationally (VERDICT round
+    * 3, next #4): assign everything to the seed centroids, per-(list,
+    * dim) means from ORDER-INDEPENDENT scaled-long sums — the exact
+    * portable arithmetic the engine uses (sum of CAST(round(v·10⁶) AS
+    * BIGINT), then (sum/count)/10⁶ in double) — an emptied list keeps
+    * its seed centroid, then search with the refined centroids.
+    */
+  private val annIvfLloydCtes: String =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n" +
+      ivfSeedCte("cent0") + ",\n" +
+      s"""lasg AS (SELECT vec_id, v, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY round(${P.cosineSql("v", "cv", 64)}, 5) DESC, cid) AS r
+         |  FROM e CROSS JOIN cent0),
+         |lmem AS (SELECT vec_id, v, cid FROM lasg WHERE r = 1),
+         |lsums AS (SELECT cid, p.pos AS pos,
+         |    SUM(CAST(round(v[p.pos + 1] * 1000000) AS BIGINT)) AS sc,
+         |    COUNT(*) AS cnt
+         |  FROM lmem CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p
+         |  GROUP BY cid, p.pos),
+         |cent AS (SELECT c0.cid AS cid, COALESCE(s.cv1, c0.cv) AS cv
+         |  FROM cent0 c0 LEFT JOIN (SELECT cid,
+         |      list((CAST(sc AS DOUBLE) / cnt) / 1000000.0 ORDER BY pos) AS cv1
+         |    FROM lsums GROUP BY cid) s USING (cid)),
+         |""".stripMargin + ivfSearchTail
 
   /** Brute-force exact top-k pair set (the sim_ann_topk oracle's
     * relation form) — recall denominators. Ends in
@@ -813,6 +850,10 @@ object SparkEntry {
          |$annBruteCtes,
          |arel AS (SELECT query_id, neighbor_id FROM ivf_topk)
          |${recallSelect("bf_topk", "arel", "query_id", "neighbor_id")}""".stripMargin,
+
+    "sim_ann_ivf_lloyd" ->
+      s"""WITH $annIvfLloydCtes
+         |SELECT query_id, rk, neighbor_id, sim FROM ivf_topk""".stripMargin,
 
     "q5_multi_join" ->
       """SELECT n_name,

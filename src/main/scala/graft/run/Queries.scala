@@ -753,6 +753,18 @@ object Queries {
       nLists = 16, nprobe = 4, iters = 0)
   }
 
+  /** IVF with ONE Lloyd refinement step — the production configuration
+    * (VERDICT round 3, next #4): the step's means are order-independent
+    * scaled-long sums, so the SQL oracle re-derives the refined
+    * centroids (grouped integer sums → means → re-assign → probe →
+    * re-rank) and the result is hash-checked, not just spec-covered.
+    */
+  def simAnnIvfLloyd(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+      nLists = 16, nprobe = 4, iters = 1)
+  }
+
   /** One-row recall reports: approximate top-k hit sets vs the exact
     * brute-force top-k (the denominator is |queries|·k).
     */
