@@ -82,7 +82,8 @@ object SparkEntry {
     "mm_decode" -> (Queries.mmDecode _),
     "mm_thumbnail" -> (Queries.mmThumbnail _),
     "mm_frame_sample" -> (Queries.mmFrameSample _),
-    "mm_resample" -> (Queries.mmResample _)
+    "mm_resample" -> (Queries.mmResample _),
+    "mm_thumbnail_ppm" -> (Queries.mmThumbnailPpm _)
   )
 
   // ---------- portable-hash SQL fragments ----------
@@ -995,6 +996,37 @@ object SparkEntry {
         |SELECT doc_id, 'ppm' AS kind, CAST(w AS BIGINT) AS width,
         |  CAST(h AS BIGINT) AS height, CAST(ow AS BIGINT) AS out_w,
         |  CAST(oh AS BIGINT) AS out_h, CAST(SUM(px) AS BIGINT) AS out_sum, TRUE AS ok
-        |FROM o GROUP BY doc_id, w, h, ow, oh""".stripMargin
+        |FROM o GROUP BY doc_id, w, h, ow, oh""".stripMargin,
+
+    // pixel-real thumbnails at arbitrary fit-box ratios: per output
+    // pixel, the floor-mean of its floor-division block re-derived from
+    // the ppmPixel formula; the engine must reproduce the total by
+    // parsing real P6 bytes, box-filtering at the fit-box ratio, and
+    // re-reading its own re-encoded container
+    "mm_thumbnail_ppm" ->
+      """WITH d AS (SELECT doc_id, 9 + (doc_id*3) % 40 AS w, 9 + (doc_id*5) % 40 AS h
+        |  FROM documents),
+        |t AS (SELECT doc_id, w, h,
+        |  CASE WHEN w <= 16 AND h <= 16 THEN w ELSE greatest(1, (w*16) // greatest(w,h)) END AS tw,
+        |  CASE WHEN w <= 16 AND h <= 16 THEN h ELSE greatest(1, (h*16) // greatest(w,h)) END AS th
+        |  FROM d),
+        |s AS (SELECT doc_id, w, h, tw, th, ox.v AS ox, oy.v AS oy, c.v AS c,
+        |    (ox.v*w) // tw AS x0, ((ox.v+1)*w) // tw AS x1,
+        |    (oy.v*h) // th AS y0, ((oy.v+1)*h) // th AS y1
+        |  FROM t,
+        |    LATERAL (SELECT unnest(range(0, tw)) AS v) ox,
+        |    LATERAL (SELECT unnest(range(0, th)) AS v) oy,
+        |    LATERAL (SELECT unnest(range(0, 3)) AS v) c),
+        |o AS (SELECT doc_id, w, h, tw, th,
+        |    SUM((doc_id + 5*x.v + 7*y.v + 11*c) % 251) // ((x1-x0)*(y1-y0)) AS px
+        |  FROM s,
+        |    LATERAL (SELECT unnest(range(x0, x1)) AS v) x,
+        |    LATERAL (SELECT unnest(range(y0, y1)) AS v) y
+        |  GROUP BY doc_id, w, h, tw, th, ox, oy, c, x0, x1, y0, y1)
+        |SELECT doc_id, 'ppm' AS kind, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(tw AS BIGINT) AS target_w,
+        |  CAST(th AS BIGINT) AS target_h, CAST(SUM(px) AS BIGINT) AS out_sum,
+        |  TRUE AS ok
+        |FROM o GROUP BY doc_id, w, h, tw, th""".stripMargin
   )
 }

@@ -844,6 +844,24 @@ object Queries {
     Multimodal.resamplePpm(spark, media).toDF()
   }
 
+  /** Pixel-real thumbnails at ARBITRARY fit-box ratios over P6 rasters
+    * (VERDICT round 3, next #5): dims 9..48 against maxSide=16 produce
+    * every mixed ratio (identity for small images, e.g. 48→16 / 41→13
+    * for large), and the oracle re-derives each output pixel's
+    * floor-mean over its floor-division block from the ppmPixel
+    * formula. Dims from doc_id: w = 9 + (id·3) mod 40,
+    * h = 9 + (id·5) mod 40, seed = id.
+    */
+  def mmThumbnailPpm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = table(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id =>
+        (id, Multimodal.synthPpm(9 + (id * 3) % 40, 9 + (id * 5) % 40, id))))
+      .toDF("doc_id", "media")
+    Multimodal.thumbnailPpm(spark, media, maxSide = 16L).toDF()
+  }
+
   /** Stateful sessionization via the streaming state machine
     * (mapGroupsWithState) run in batch mode — same oracle as the
     * lag-window formulation.

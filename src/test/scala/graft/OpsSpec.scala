@@ -509,6 +509,31 @@ class OpsSpec extends AnyFunSuite {
     assert(!r2.ok && r2.kind == "other")
   }
 
+  test("PPM thumbnail: arbitrary-ratio box filter — hand-computed 3→2, identity, poison") {
+    // 3x1 -> 2x1 (maxSide 2): blocks tile by floor division —
+    // ox=0 covers x∈[0,1), ox=1 covers x∈[1,3) (floor-mean of 2 px)
+    val px = Array[Byte](10, 0, 0, 20, 0, 0, 31, 0, 0)
+    val media = Seq(
+      (1L, Multimodal.encodePpm(3, 1, px)),
+      (2L, Multimodal.synthPpm(4, 3, 7)), // already within the box: identity
+      (3L, Multimodal.synthWav(1, 8000, 5, 3))).toDF("doc_id", "media")
+    val out = Multimodal.thumbnailPpm(spark, media, maxSide = 2L)
+      .collect().map(r => r.doc_id -> r).toMap
+    val r1 = out(1L)
+    // out px: [10] and floor((20+31)/2) = 25 → sum 35
+    assert(r1.ok && r1.target_w.contains(2L) && r1.target_h.contains(1L) &&
+      r1.out_sum.contains(35L), s"got $r1")
+    val r2 = out(3L)
+    assert(!r2.ok && r2.kind == "other")
+    // identity ratio: output == input raster byte sum
+    val in2 = Multimodal.synthPpm(4, 3, 7)
+    val info2 = Multimodal.parsePpm(in2).get
+    val want = (info2.dataOff until in2.length).map(in2(_) & 0xff).sum.toLong
+    val big = Multimodal.thumbnailPpm(spark,
+      Seq((9L, in2)).toDF("doc_id", "media"), maxSide = 16L).collect().head
+    assert(big.ok && big.target_w.contains(4L) && big.out_sum.contains(want))
+  }
+
   test("JPEG parser skips 0xFF fill bytes between marker segments (legal padding)") {
     val base = Multimodal.synthJpeg(100, 50, 0)
     val idx = base.indices.find(i =>
