@@ -76,6 +76,45 @@ object Serializer {
     renderObject(r.getAs[String]("o_kind"), r.getAs[String]("o_lex"),
       r.getAs[String]("o_datatype"), r.getAs[String]("o_lang"))
 
+  // ---------- prefix compaction (turtle / trig / n3) ----------
+
+  /** Conservative Turtle PN_LOCAL check (ASCII letters/digits/_/-,
+    * no dots or escapes) — anything outside stays a full `<IRI>`;
+    * a missed compaction is valid Turtle, a bad one is not.
+    */
+  def isPnLocal(s: String): Boolean =
+    s.nonEmpty && (s.head.isLetterOrDigit || s.head == '_') &&
+      s.forall(c => c.isLetterOrDigit || c == '_' || c == '-')
+
+  /** `prefix:local` when a registered namespace + legal local name
+    * covers the IRI (longest namespace wins), else `<iri>`.
+    */
+  def compactTerm(iri: String, prefixes: Seq[(String, String)]): String =
+    prefixes.collectFirst {
+      case (p, ns) if iri.startsWith(ns) && isPnLocal(iri.substring(ns.length)) =>
+        s"$p:${iri.substring(ns.length)}"
+    }.getOrElse(s"<$iri>")
+
+  private def objCompact(r: Row, pfx: Seq[(String, String)]): String =
+    if (r.getAs[String]("o_kind") == "iri") compactTerm(r.getAs[String]("o_lex"), pfx)
+    else {
+      val tag =
+        if (r.getAs[String]("o_lang") != null) s"@${r.getAs[String]("o_lang")}"
+        else if (r.getAs[String]("o_datatype") != null)
+          s"^^${compactTerm(r.getAs[String]("o_datatype"), pfx)}"
+        else ""
+      "\"" + escape(r.getAs[String]("o_lex")) + "\"" + tag
+    }
+
+  /** Longest-namespace-first directive order (deterministic compaction
+    * when namespaces nest) + the `@prefix` header block.
+    */
+  private def prefixSeq(prefixes: Map[String, String]): Seq[(String, String)] =
+    prefixes.toSeq.sortBy { case (p, ns) => (-ns.length, p) }
+
+  private def prefixHeader(pfx: Seq[(String, String)]): String =
+    pfx.map { case (p, ns) => s"@prefix $p: <$ns> ." }.mkString("\n")
+
   // ---------- distributed sinks ----------
 
   /** N-Triples: drop the graph, distinct, distributed text write. */
@@ -98,27 +137,38 @@ object Serializer {
     * partition on subject so each subject's triples land in ONE
     * partition; sort within; stream-group in a mapPartitions. No
     * driver materialization at any scale.
+    *
+    * `prefixes` (prefix → namespace) enables `@prefix` compaction:
+    * every non-empty partition leads with the directive block —
+    * Turtle allows re-declaration, so part files still concatenate
+    * into one valid document AND each part stays self-contained.
+    * Terms the registered namespaces don't cover (or whose local part
+    * isn't a safe PN_LOCAL) stay full IRIs.
     */
-  def writeTurtle(triples: DataFrame, path: String, gzip: Boolean = false): Unit = {
+  def writeTurtle(triples: DataFrame, path: String, gzip: Boolean = false,
+      prefixes: Map[String, String] = Map.empty): Unit = {
     val spark = triples.sparkSession
     import spark.implicits._
+    val pfx = prefixSeq(prefixes)
     val sorted = triples
       .dropDuplicates("s", "p", "o_kind", "o_lex", "o_datatype", "o_lang")
       .select("s", "p", "o_kind", "o_lex", "o_datatype", "o_lang")
       .repartitionByRange(col("s"))
       .sortWithinPartitions("s", "p", "o_lex")
     val blocks = sorted.mapPartitions { it =>
-      new Iterator[String] {
-        private val in = it.buffered
+      val in = it.buffered
+      val header =
+        if (pfx.nonEmpty && in.hasNext) Iterator(prefixHeader(pfx)) else Iterator.empty
+      header ++ new Iterator[String] {
         def hasNext: Boolean = in.hasNext
         def next(): String = {
           val s = in.head.getAs[String]("s")
-          val sb = new StringBuilder(s"<$s>")
+          val sb = new StringBuilder(compactTerm(s, pfx))
           var first = true
           while (in.hasNext && in.head.getAs[String]("s") == s) {
             val r = in.next()
             sb.append(if (first) "\n    " else " ;\n    ")
-            sb.append(s"<${r.getAs[String]("p")}> ${obj(r)}")
+            sb.append(s"${compactTerm(r.getAs[String]("p"), pfx)} ${objCompact(r, pfx)}")
             first = false
           }
           sb.append(" .").toString()
@@ -130,24 +180,30 @@ object Serializer {
   }
 
   /** TriG: graph-grouped, subject-sorted blocks; part files
-    * concatenate (TriG allows a graph label to recur).
+    * concatenate (TriG allows a graph label to recur). `prefixes` as
+    * in [[writeTurtle]] (TriG shares Turtle's directive syntax).
     */
-  def writeTrig(triples: DataFrame, path: String, gzip: Boolean = false): Unit = {
+  def writeTrig(triples: DataFrame, path: String, gzip: Boolean = false,
+      prefixes: Map[String, String] = Map.empty): Unit = {
     val spark = triples.sparkSession
     import spark.implicits._
+    val pfx = prefixSeq(prefixes)
     val sorted = TripleEmitter.dedup(triples)
       .repartitionByRange(col("g"), col("s"))
       .sortWithinPartitions("g", "s", "p", "o_lex")
     val blocks = sorted.mapPartitions { it =>
-      new Iterator[String] {
-        private val in = it.buffered
+      val in = it.buffered
+      val header =
+        if (pfx.nonEmpty && in.hasNext) Iterator(prefixHeader(pfx)) else Iterator.empty
+      header ++ new Iterator[String] {
         def hasNext: Boolean = in.hasNext
         def next(): String = {
           val g = in.head.getAs[String]("g")
-          val sb = new StringBuilder(s"<$g> {\n")
+          val sb = new StringBuilder(s"${compactTerm(g, pfx)} {\n")
           while (in.hasNext && in.head.getAs[String]("g") == g) {
             val r = in.next()
-            sb.append(s"  <${r.getAs[String]("s")}> <${r.getAs[String]("p")}> ${obj(r)} .\n")
+            sb.append(s"  ${compactTerm(r.getAs[String]("s"), pfx)} " +
+              s"${compactTerm(r.getAs[String]("p"), pfx)} ${objCompact(r, pfx)} .\n")
           }
           sb.append("}").toString()
         }

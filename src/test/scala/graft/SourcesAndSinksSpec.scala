@@ -123,6 +123,33 @@ class SourcesAndSinksSpec extends AnyFunSuite {
     assert(trig.contains("<http://g/g2> {"))
   }
 
+  test("K2: turtle/trig @prefix compaction — directives per part, safe PN_LOCAL fallback") {
+    val base = Files.createTempDirectory("serp").toString
+    val pfx = Map("g" -> "http://g/", "xsd" -> "http://www.w3.org/2001/XMLSchema#")
+    Serializer.writeTurtle(sampleTriples(), s"$base/ttl", prefixes = pfx)
+    val ttl = readText(s"$base/ttl").mkString("\n")
+    assert(ttl.contains("@prefix g: <http://g/> ."))
+    assert(ttl.contains("g:s1\n    g:p1 \"va\\\"l1\"@en ;\n    g:p2 g:o1 ."))
+    assert(ttl.contains("\"12\"^^xsd:integer"))
+    assert(!ttl.contains("<http://g/s1>")) // everything in-namespace compacts
+
+    Serializer.writeTrig(sampleTriples(), s"$base/trig", prefixes = pfx)
+    val trig = readText(s"$base/trig").mkString("\n")
+    assert(trig.contains("@prefix g: <http://g/> ."))
+    assert(trig.contains("g:g1 {") && trig.contains("g:g2 {"))
+
+    // an IRI whose local part is not a safe PN_LOCAL stays full
+    val tricky = Seq(
+      ("http://g/a/b", "http://g/p1", "iri", "http://other/x", null, null, "http://g/g1"))
+      .toDF("s", "p", "o_kind", "o_lex", "o_datatype", "o_lang", "g")
+    Serializer.writeTurtle(tricky, s"$base/ttl2", prefixes = pfx)
+    val ttl2 = readText(s"$base/ttl2").mkString("\n")
+    assert(ttl2.contains("<http://g/a/b>")) // 'a/b' is no PN_LOCAL
+    assert(ttl2.contains("<http://other/x>")) // unregistered namespace
+    // no-prefix default output is unchanged
+    assert(Serializer.compactTerm("http://g/s1", Seq.empty) == "<http://g/s1>")
+  }
+
   test("K2: driver-side document formats are well-formed and complete") {
     val xml = Serializer.toRdfXml(sampleTriples())
     assert(xml.startsWith("<?xml"))
