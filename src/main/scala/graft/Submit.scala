@@ -20,6 +20,10 @@ import graft.run.Pipeline
   *   [--buckets 256] [--run-id run-0] [--anchor-field country] \
   *   [--link-threshold 0.9] [--format nquads] [--gzip] \
   *   [--checkpoint-dir <dir>]   # enables RELIABLE lineage cuts
+  *
+  * # lifecycle delete (M3): remove the store this descriptor built
+  * spark-submit --class graft.Submit cattlespark_2.13-0.1.0.jar \
+  *   --delete --out <dir> --descriptor <json> [--force]
   * }}}
   *
   * Master/executor topology comes from spark-submit itself (the
@@ -35,11 +39,12 @@ object Submit {
 
   private def parseArgs(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
+    val flags = Set("--gzip", "--delete", "--force")
     var i = 0
     while (i < args.length) {
       val a = args(i)
       require(a.startsWith("--"), s"unexpected argument: $a")
-      if (a == "--gzip") { m += ("gzip" -> "true"); i += 1 }
+      if (flags(a)) { m += (a.drop(2) -> "true"); i += 1 }
       else {
         require(i + 1 < args.length, s"missing value for $a")
         m += (a.drop(2) -> args(i + 1)); i += 2
@@ -89,6 +94,18 @@ object Submit {
             (line.substring(0, i), line.substring(i + 1))
           }
       case None => Nil
+    }
+
+    // lifecycle delete (M3): --delete --out <dir> --descriptor <json>
+    // removes the store the descriptor's rule-set hash owns and exits
+    if (o.contains("delete")) {
+      val hash = graft.spec.TableSpec.ruleSetHash(
+        Files.readString(Paths.get(req("descriptor"))))
+      val removed = Pipeline.delete(spark, req("out"), hash,
+        force = o.contains("force"))
+      println(s"""{"deleted":"${req("out")}","rule_set_hash":"$hash","lineage_rows":$removed}""")
+      if (existing.isEmpty) spark.stop()
+      return
     }
 
     val cfg = Pipeline.Config(

@@ -189,14 +189,17 @@ object Dedup {
     * collision probability at J=0.8 is ~0.9997, at J=0.2 is ~0.025 —
     * the classic S-curve.
     */
-  def minhashLshPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
-      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+  /** (doc_id, sh, buckets) signature table — shared by the pair
+    * operator (which lineage-cuts it) and the bucket-size diagnostic.
+    */
+  private def minhashSigTable(docs: DataFrame, n: Int, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val numHashes = bands * rowsPerBand
     val as = Array.tabulate(numHashes)(Portable.seedA)
     val bs = Array.tabulate(numHashes)(Portable.seedB)
-    val sh = graft.util.Cut.cut(docs
+    docs
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -211,7 +214,14 @@ object Dedup {
           }
         }
       }
-      .toDF("doc_id", "sh", "buckets"))
+      .toDF("doc_id", "sh", "buckets")
+  }
+
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = graft.util.Cut.cut(minhashSigTable(docs, n, bands, rowsPerBand))
     val banded = sh.select(col("doc_id"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
     val cand = banded.as("a").join(banded.as("b"),
@@ -277,11 +287,13 @@ object Dedup {
     * (they carry no content signal; an all-zero signature would pair
     * every empty document with every other).
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** (doc_id, sig, chunks) signature table — shared by the pair
+    * operator (which lineage-cuts it) and the bucket-size diagnostic.
+    */
+  private def simhashSigTable(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // cut: sig is consumed by both sides of the chunk self-join
-    val sigs = graft.util.Cut.cut(docs.select(col("doc_id").cast("long"), col("text"))
+    docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions(it => it.flatMap { case (id, text) =>
         val hasTokens = text != null && text.split("\\s+").exists(_.nonEmpty)
@@ -292,7 +304,14 @@ object Dedup {
           Some((id, sig, chunks))
         }
       })
-      .toDF("doc_id", "sig", "chunks"))
+      .toDF("doc_id", "sig", "chunks")
+  }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // cut: sig is consumed by both sides of the chunk self-join
+    val sigs = graft.util.Cut.cut(simhashSigTable(docs))
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(col("chunks")).as(Seq("chunk", "key")))
     chunked.as("a").join(chunked.as("b"),
@@ -423,5 +442,60 @@ object Dedup {
         if (sim >= tau) Some((ia, ib, sim)) else None
       })
       .toDF("id_a", "id_b", "sim")
+  }
+
+  // ---------- scale diagnostics (VERDICT round 3, next #7) ----------
+  //
+  // The dedup operators' 100 TB story rests on two claims: (1) posting
+  // lists / blocking buckets stay small, (2) where the data breaks
+  // claim 1 (boilerplate shingles), the df guard caps the damage.
+  // These diagnostics make both MEASURABLE — log2-bucketed size
+  // histograms of every blocking structure, cheap aggregations over
+  // the same tables the operators build (graft.DedupScale runs them on
+  // a 10× corpus; the bound spec pins the cap).
+
+  private def log2Hist(sizes: DataFrame, sizeCol: String, extraKeys: Seq[String] = Nil): DataFrame =
+    sizes.groupBy((extraKeys.map(col) :+
+        floor(log2(col(sizeCol))).cast("long").as("log2_size")): _*)
+      .agg(count(lit(1)).as("n"), max(col(sizeCol)).as("max_size"))
+      .orderBy((extraKeys :+ "log2_size").map(col): _*)
+
+  /** Shingle document-frequency histogram of the n-gram inverted
+    * index: one row per (stage, ⌊log2 df⌋) with shingle counts and the
+    * stage max — `raw` is the unguarded posting list, `kept` is after
+    * the df ∈ [2, maxDf] stop-shingle guard. The kept max df IS the
+    * largest self-join bucket the pair stage can see: the guard bounds
+    * any shingle's candidate contribution to maxDf² pairs.
+    */
+  def ngramDfHistogram(docs: DataFrame, n: Int = 3,
+      maxDf: Long = defaultMaxDf): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val posting = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(it => it.flatMap { case (id, t) =>
+        shingleSet(t, n).iterator.map(s => (id, s)) })
+      .toDF("doc_id", "shingle")
+    val dfs = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val staged = dfs.withColumn("stage", lit("raw")).unionByName(
+      dfs.filter(col("df") >= 2 && col("df") <= maxDf).withColumn("stage", lit("kept")))
+    log2Hist(staged, "df", Seq("stage"))
+  }
+
+  /** MinHash (band, bucket) blocking-key size histogram — the largest
+    * bucket bounds the candidate self-join's worst key.
+    */
+  def minhashBucketHistogram(docs: DataFrame, n: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val banded = minhashSigTable(docs, n, bands, rowsPerBand)
+      .select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+    log2Hist(banded.groupBy("band", "bucket").agg(count(lit(1)).as("sz")), "sz")
+  }
+
+  /** SimHash (chunk, key) blocking-key size histogram. */
+  def simhashKeyHistogram(docs: DataFrame): DataFrame = {
+    val chunked = simhashSigTable(docs)
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk", "key")))
+    log2Hist(chunked.groupBy("chunk", "key").agg(count(lit(1)).as("sz")), "sz")
   }
 }

@@ -184,7 +184,10 @@ object Pipeline {
       .first()
     val edgesDir = new java.io.File(s"$outDir/edges")
     val nEdges =
-      if (edgesDir.exists()) spark.read.parquet(s"$outDir/edges").count() else 0L
+      if (edgesDir.exists())
+        spark.read.schema("src STRING, dst STRING, bucket INT")
+          .parquet(s"$outDir/edges").count()
+      else 0L
     val m = RunMetrics(cfg.runId, hash,
       buckets_done = lineage.getLong(0) - skipped,
       buckets_skipped = skipped.toLong,
@@ -195,6 +198,41 @@ object Pipeline {
       wall_ms = (System.nanoTime() - t0) / 1000000L)
     Seq(m).toDS().write.mode(SaveMode.Append).parquet(s"$outDir/metrics")
     (out, m)
+  }
+
+  /** Lifecycle delete (M3 — the reference removes a conversion's whole
+    * job folder, /root/reference/src/cattle.py:372-385): removes a
+    * materialized store (triples/ edges/ lineage/ metrics/ serialized/)
+    * AFTER verifying ownership — the lineage table records which
+    * rule-set hash built the store, and triple rows are NOT hash-tagged
+    * (buckets from different rule sets would be indistinguishable), so
+    * a store whose lineage names a DIFFERENT hash is refused unless
+    * `force`. Idempotent: a missing store deletes 0 and succeeds, like
+    * re-deleting in the reference. Uses the Hadoop FileSystem API, so
+    * the same call works on a DFS under spark-submit.
+    *
+    * @return lineage rows removed (0 for a store that never committed)
+    */
+  def delete(spark: SparkSession, outDir: String, ruleSetHash: String,
+      force: Boolean = false): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lineagePath = new Path(root, "lineage")
+    val removed =
+      if (!fs.exists(lineagePath)) 0L
+      else {
+        val lineage = spark.read.parquet(lineagePath.toString)
+        val hashes = lineage.select("rule_set_hash").distinct()
+          .collect().map(_.getString(0)).toSet
+        require(force || hashes.subsetOf(Set(ruleSetHash)),
+          s"store $outDir holds rule sets ${hashes.mkString(",")}, not only " +
+            s"$ruleSetHash — refusing to delete mixed ownership (force=true overrides)")
+        lineage.filter(col("rule_set_hash") === ruleSetHash).count()
+      }
+    Seq("triples", "edges", "lineage", "metrics", "serialized")
+      .foreach(d => fs.delete(new Path(root, d), true))
+    removed
   }
 
   /** Materializing, bucket-resumable run. Stage A skips buckets whose
@@ -221,8 +259,13 @@ object Pipeline {
 
     val allTriples = spark.read.parquet(s"$outDir/triples").drop("bucket")
     val edgesDir = new java.io.File(s"$outDir/edges")
+    // explicit schema: a gazetteer-less run writes an edge-free store
+    // (just _SUCCESS), where schema INFERENCE throws — found driving
+    // Submit without --gazetteer
     val allEdges =
-      if (edgesDir.exists()) spark.read.parquet(s"$outDir/edges").select("src", "dst")
+      if (edgesDir.exists())
+        spark.read.schema("src STRING, dst STRING, bucket INT")
+          .parquet(s"$outDir/edges").select("src", "dst")
       else spark.emptyDataFrame.select(lit("").as("src"), lit("").as("dst")).limit(0)
     stageB(spark, allTriples, allEdges, cfg.maxCcIterations, cfg.broadcastCanonLimit)
   }

@@ -329,6 +329,31 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped.size > capped.size, "without the cap the boiler bucket explodes")
   }
 
+  test("dedup diagnostics: df guard bounds the largest posting bucket (histogram evidence)") {
+    // 40 docs all sharing one boilerplate sentence → its shingles have
+    // raw df = 40; with maxDf = 8 the kept index must contain NO
+    // bucket above 8 while the raw histogram still shows the 40-bucket
+    val boiler = DedupScale.boiler
+    val rows = (1L to 40L).map(i => i -> s"u${i}a u${i}b u${i}c u${i}d $boiler") ++
+      Seq(41L -> "the quick brown fox jumps tonight", // genuine df=2 shingles so
+        42L -> "the quick brown fox jumps today")     // the kept index is non-empty
+    val d = docs(rows: _*)
+    val hist = Dedup.ngramDfHistogram(d, n = 3, maxDf = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rawMax = hist.collect { case ("raw", _, _, m) => m }.max
+    val keptMax = hist.collect { case ("kept", _, _, m) => m }.max
+    assert(rawMax == 40L, s"boilerplate shingles must reach df=40, got $rawMax")
+    assert(keptMax <= 8L, s"df guard must bound the largest kept bucket: $keptMax")
+    // the kept histogram is the raw one minus the df=1 and df>8 tails
+    val rawN = hist.collect { case ("raw", _, n, _) => n }.sum
+    val keptN = hist.collect { case ("kept", _, n, _) => n }.sum
+    assert(keptN < rawN)
+    // blocking-key histograms exist and bound their buckets by |docs|
+    val mh = Dedup.minhashBucketHistogram(d).agg(max($"max_size")).collect()(0).getLong(0)
+    val sh = Dedup.simhashKeyHistogram(d).agg(max($"max_size")).collect()(0).getLong(0)
+    assert(mh >= 1L && mh <= 42L && sh >= 1L && sh <= 42L)
+  }
+
   test("IVF at nLists=256 on sf0.1: broadcast assignment, no plan blowup") {
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val q = emb.filter($"vec_id" < 5)

@@ -153,6 +153,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.text(s"$base/out/serialized").count() == want)
   }
 
+  test("gazetteer-less resumable run: empty edge store reads back (schema inference regression)") {
+    val dir = Files.createTempDirectory("graft-noedges").toString
+    val c = cfg(Some(dir)).copy(gazetteer = Nil)
+    val pages = Fixtures.pages(spark, 20, 2)
+    // first run writes an edge-FREE edges/ dir (just _SUCCESS); both the
+    // run and the resume must read it with the explicit schema instead
+    // of crashing on parquet schema inference
+    val n1 = Pipeline.runResumable(spark, pages, c).count()
+    val n2 = Pipeline.runResumable(spark, pages, c.copy(runId = "r2")).count()
+    assert(n1 > 0 && n1 == n2)
+  }
+
+  test("M3 lifecycle delete: removes the owned store, refuses foreign hashes, idempotent") {
+    val base = Files.createTempDirectory("graft-delete").toString
+    val pages = Fixtures.pages(spark, 30, 3)
+    val c = cfg(Some(s"$base/out"))
+    Pipeline.runResumable(spark, pages, c).count()
+    val hash = graft.spec.TableSpec.ruleSetHash(c.descriptorJson)
+    assert(new java.io.File(s"$base/out/triples").exists())
+
+    // wrong hash: refused — triple rows aren't hash-tagged, so a mixed
+    // store can't be partially deleted
+    intercept[IllegalArgumentException] {
+      Pipeline.delete(spark, s"$base/out", "deadbeefdeadbeef")
+    }
+    assert(new java.io.File(s"$base/out/triples").exists(), "refusal must not delete")
+
+    // owned hash: store removed, lineage rows counted
+    val removed = Pipeline.delete(spark, s"$base/out", hash)
+    assert(removed > 0)
+    assert(!new java.io.File(s"$base/out/triples").exists())
+    assert(!new java.io.File(s"$base/out/lineage").exists())
+
+    // idempotent: second delete is a 0-row no-op, not an error
+    assert(Pipeline.delete(spark, s"$base/out", hash) == 0L)
+
+    // force overrides mixed/foreign ownership
+    Pipeline.runResumable(spark, pages, c.copy(runId = "r2")).count()
+    assert(Pipeline.delete(spark, s"$base/out", "deadbeefdeadbeef", force = true) >= 0L)
+    assert(!new java.io.File(s"$base/out/triples").exists())
+
+    // a fresh run after delete rebuilds from scratch (full lifecycle)
+    val (_, m) = Pipeline.runResumableWithMetrics(spark, pages, c.copy(runId = "r3"))
+    assert(m.buckets_skipped == 0 && m.buckets_done > 0)
+  }
+
   test("dedup: duplicating the input does not duplicate triples") {
     val pages = Fixtures.pages(spark, 20, 3)
     val doubled = pages.union(pages)
