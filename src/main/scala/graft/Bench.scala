@@ -64,7 +64,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "4000000").toLong
-    val minReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val minReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "5").toInt
     // N and 4N parallelism. Why 2 and 8, not 8 and 32: this sandbox VM
     // advertises 32 vCPUs but the hypervisor only SUSTAINS ~8-10
@@ -99,26 +99,34 @@ object Bench {
     // of runs the hypervisor dealt — round 3's capture logged a rep
     // whose 4N leg was billed 21% extra guest CPU (parity 0.826). The
     // alternating-reps × cooldown × per-level-MINIMUM protocol now
-    // lives HERE: reps repeat until the representative pair is
+    // lives HERE: reps repeat until the representative pair is BOTH
     // parity-clean (cpu_work_parity within [0.9, 1.1] — parity is the
     // STEAL DETECTOR, deliberately not the efficiency target, so a
     // genuine sub-0.8 reading with clean parity is reported, not
-    // re-rolled) or maxReps is hit. Wall times are per-level minima
-    // across reps — throttling only ever slows a run, so the minimum
-    // is a consistent estimator of the un-throttled time — and the CPU
-    // figures come from each level's min-wall rep (the least-inflated
-    // observation), never mixed-and-matched by hand in BENCH.md.
+    // re-rolled) AND min-stable (the newest rep improved neither
+    // level's minimum by >2% — while the minima are still falling,
+    // earlier reps were throttled and the estimator hasn't converged;
+    // this catches the uniformly-throttled window parity can't see),
+    // or maxReps is hit. Wall times are per-level minima across reps —
+    // throttling only ever slows a run, so the minimum is a consistent
+    // estimator of the un-throttled time — and the CPU figures come
+    // from each level's min-wall rep (the least-inflated observation),
+    // never mixed-and-matched by hand in BENCH.md.
     val cooldownS = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_S", "120").toInt
     var runs = Vector.empty[(Int, (Long, Double, Double))]
     def best(level: Int): (Long, Double, Double) =
       runs.collect { case (c, r) if c == level => r }.minBy(_._2)
     def parityOf: Double = best(levels.head)._3 / best(levels(1))._3
     var rep = 0
+    var stable = false
     while (rep < minReps ||
-        (rep < maxReps && (parityOf < 0.9 || parityOf > 1.1))) {
+        (rep < maxReps && (parityOf < 0.9 || parityOf > 1.1 || !stable))) {
+      val prevN = if (runs.isEmpty) Double.MaxValue else best(levels.head)._2
+      val prev4N = if (runs.isEmpty) Double.MaxValue else best(levels(1))._2
       Thread.sleep(cooldownS * 1000L)
       runs ++= levels.reverse.map(c => c -> levelRun(c))
       rep += 1
+      stable = best(levels.head)._2 >= prevN * 0.98 && best(levels(1))._2 >= prev4N * 0.98
     }
     val (triplesN, tN, cpuN) = best(levels.head)
     val (triples4N, t4N, cpu4N) = best(levels(1))

@@ -150,7 +150,10 @@ object Queries {
       .agg(sum(cents(col("value"))).as("purchase_c"))
     graft.ops.AsOf.asofJoin(
         ev.select(col("user_id"), col("event_id"), col("us")),
-        purchases, "user_id", "us", "purchase_c", asofCol = "last_purchase_c")
+        purchases, "user_id", "us", "purchase_c", asofCol = "last_purchase_c",
+        // explicit slice width (6h of µs): the scale knob callers set in
+        // pipelines; skips the auto-derivation's extra min/max job
+        epochWidth = 21600000000L)
       .select(col("user_id"), col("event_id"),
         coalesce(col("last_purchase_c"), lit(-1L)).as("last_purchase_c"))
   }
