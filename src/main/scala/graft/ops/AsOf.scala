@@ -79,9 +79,24 @@ object AsOf {
       tsCol: String,
       valCol: String,
       asofCol: String = "asof_val",
+      epochWidth: Long = 0L): DataFrame =
+    asofJoinMulti(left, right, Seq(keyCol), tsCol, valCol, asofCol, epochWidth)
+
+  /** Composite-key variant: the carry windows, the slice summary and
+    * the hand-back join all key on (keyCols…, epoch).
+    */
+  def asofJoinMulti(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valCol: String,
+      asofCol: String = "asof_val",
       epochWidth: Long = 0L): DataFrame = {
+    require(keyCols.nonEmpty, "asofJoin needs at least one key column")
     val valType = right.schema(valCol).dataType
     val leftCols = left.columns
+    val keys = keyCols.map(col)
 
     val width =
       if (epochWidth > 0) epochWidth
@@ -98,9 +113,9 @@ object AsOf {
     val r = right
       .filter(col(tsCol).isNotNull) // NULL ts never satisfies r.ts <= l.ts
       .select(
-        (col(keyCol) +: col(tsCol) +: struct(col(valCol).as("v")).as("__graft_rrow") +:
-          lit(0).as("__graft_side") +:
-          leftCols.filterNot(c => c == keyCol || c == tsCol)
+        (keys ++ Seq(col(tsCol), struct(col(valCol).as("v")).as("__graft_rrow"),
+          lit(0).as("__graft_side")) ++
+          leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
             .map(c => lit(null).cast(left.schema(c).dataType).as(c)).toSeq): _*)
     val l = left
       .withColumn("__graft_rrow", lit(null).cast(s"struct<v:${valType.sql}>"))
@@ -114,33 +129,33 @@ object AsOf {
           .otherwise(expr(s"__graft_tsl div $width")))
       .drop("__graft_tsl")
 
-    // ---- within-slice carry: partitioned by (key, epoch) — the
+    // ---- within-slice carry: partitioned by (keys…, epoch) — the
     // de-funnelled exchange; a hot key spreads over its slices ----
-    val wSlice = Window.partitionBy(col(keyCol), col("__graft_epoch"))
+    val wSlice = Window.partitionBy(keys :+ col("__graft_epoch"): _*)
       .orderBy(col(tsCol), col("__graft_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = u.withColumn("__graft_carry",
       last(col("__graft_rrow"), ignoreNulls = true).over(wSlice))
 
-    // ---- slice summary: ONE row per (key, epoch) of the union — the
+    // ---- slice summary: ONE row per (keys…, epoch) of the union — the
     // latest right row in the slice (max_by ignores left rows via its
     // null ordering key), or NULL for right-free slices ----
-    val summary = u.groupBy(col(keyCol), col("__graft_epoch"))
+    val summary = u.groupBy(keys :+ col("__graft_epoch"): _*)
       .agg(max_by(col("__graft_rrow"),
         when(col("__graft_side") === 0, col(tsCol))).as("__graft_last"))
     // carry-in = latest right row of any EARLIER slice: a per-key
     // window, but over the summary (≈ #slices rows per key, small by
     // construction — this is the "one pass over the tiny slice-summary
     // table" that replaces the per-key funnel)
-    val wEpoch = Window.partitionBy(col(keyCol)).orderBy(col("__graft_epoch"))
+    val wEpoch = Window.partitionBy(keys: _*).orderBy(col("__graft_epoch"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carryIn = summary
       .withColumn("__graft_prev", last(col("__graft_last"), ignoreNulls = true).over(wEpoch))
-      .select(col(keyCol), col("__graft_epoch"), col("__graft_prev"))
+      .select(keys :+ col("__graft_epoch") :+ col("__graft_prev"): _*)
 
     carried
       .filter(col("__graft_side") === 1)
-      .join(carryIn, Seq(keyCol, "__graft_epoch"))
+      .join(carryIn, keyCols :+ "__graft_epoch")
       .withColumn(asofCol,
         coalesce(col("__graft_carry"), col("__graft_prev")).getField("v"))
       .select(leftCols.map(col) :+ col(asofCol): _*)

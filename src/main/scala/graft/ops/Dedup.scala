@@ -307,13 +307,32 @@ object Dedup {
       .toDF("doc_id", "sig", "chunks")
   }
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** `maxBucket` (default unbounded — the exact pigeonhole guarantee)
+    * is the web-scale skew guard this round's own 10×-corpus evidence
+    * demanded (BENCH.md): shared boilerplate pulls short documents'
+    * signatures together, and the hottest chunk bucket then grows with
+    * the corpus (measured 222 → 2,182 from 1.5k → 50k docs), putting a
+    * quadratic self-join bucket back in the plan. Capping drops chunk
+    * keys with more than `maxBucket` members — the SimHash analogue of
+    * the n-gram stop-shingle cap. Recall contract under the cap: a
+    * true pair survives unless EVERY chunk the two signatures agree on
+    * is hot — pigeonhole still gives a ≤ maxHamming pair at least
+    * 4 − maxHamming collision chances.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // cut: sig is consumed by both sides of the chunk self-join
     val sigs = graft.util.Cut.cut(simhashSigTable(docs))
-    val chunked = sigs.select(col("doc_id"), col("sig"),
+    val chunked0 = sigs.select(col("doc_id"), col("sig"),
       posexplode(col("chunks")).as(Seq("chunk", "key")))
+    val chunked =
+      if (maxBucket == Long.MaxValue) chunked0
+      else chunked0.join(
+        chunked0.groupBy("chunk", "key").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucket).drop("__n"),
+        Seq("chunk", "key"))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))

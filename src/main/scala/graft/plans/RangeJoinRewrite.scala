@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
@@ -18,9 +18,10 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZ
   * has no equi-key on the range predicates, so Catalyst plans a
   * BroadcastNestedLoopJoin — |L|×|R| comparisons per key. When
   * `spark.graft.rangejoin.binWidth` is set (> 0), this rule rewrites
-  * any INNER join whose condition contains `pt >= s && pt <= e`
-  * (pt from the left, s/e from the right; integral, timestamp or date
-  * types — timestamps bin on epoch µs, dates on epoch days) into:
+  * any INNER or LEFT OUTER join whose condition contains
+  * `pt >= s && pt <= e` (pt from the left — the preserved side for
+  * LEFT OUTER — s/e from the right; integral, timestamp or date types
+  * — timestamps bin on epoch µs, dates on epoch days) into:
   *
   *   Filter(range-preds, Join(left + pt div W, Generate(explode(
   *     sequence(s div W, e div W)), right), equi-keys + bin = bin))
@@ -89,8 +90,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     if (width <= 0) return plan
 
     plan.transform {
-      case j @ Join(left, right, Inner, Some(cond), hint)
-          if !cond.references.exists(_.name.startsWith("__graft")) =>
+      case j @ Join(left, right, jt, Some(cond), hint)
+          if (jt == Inner || jt == LeftOuter) &&
+            !cond.references.exists(_.name.startsWith("__graft")) =>
         def leftOnly(e: Expression) =
           e.references.nonEmpty && e.references.subsetOf(left.outputSet)
         def rightOnly(e: Expression) =
@@ -145,11 +147,27 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
               case _ => false
             }
             val others = conjuncts.filterNot(equis.contains)
-            val joinCond = (equis :+ EqualTo(ptBin.toAttribute, binAttr)).reduce(And)
-            val rewritten = Join(newLeft, newRight, Inner, Some(joinCond), hint)
-            // the non-equi conjuncts (incl. the range bounds) re-verify
-            // exact containment above the equi join
-            Project(j.output, Filter(others.reduce(And), rewritten))
+            val binEq = EqualTo(ptBin.toAttribute, binAttr)
+            jt match {
+              case Inner =>
+                val joinCond = (equis :+ binEq).reduce(And)
+                val rewritten = Join(newLeft, newRight, Inner, Some(joinCond), hint)
+                // the non-equi conjuncts (incl. the range bounds)
+                // re-verify exact containment above the equi join
+                Project(j.output, Filter(others.reduce(And), rewritten))
+              case _ =>
+                // LEFT OUTER (pt on the preserved side, bounds on the
+                // other — the collect patterns above guarantee it): the
+                // range predicates must stay IN the join condition, not
+                // a post-filter — a filter above the join would drop
+                // the null-extended rows the outer join exists to keep.
+                // Semantics are preserved: a true (point, interval)
+                // pair still matches in exactly one bin, and a left row
+                // with no bin-and-range match null-extends once, same
+                // as the original nested loop.
+                val joinCond = (equis ++ others :+ binEq).reduce(And)
+                Project(j.output, Join(newLeft, newRight, LeftOuter, Some(joinCond), hint))
+            }
         }
     }
   }

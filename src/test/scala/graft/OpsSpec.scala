@@ -329,6 +329,25 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped.size > capped.size, "without the cap the boiler bucket explodes")
   }
 
+  test("simhash maxBucket cap prunes the hot boilerplate bucket, keeps the cold genuine pair") {
+    // two 15-doc groups of IDENTICAL boilerplate (every chunk bucket
+    // size 15 — hot) + one genuine identical pair with unrelated
+    // content (its 4 chunk buckets have size 2 — untouched by the cap)
+    val boiler = (1L to 30L).map(i =>
+      i -> s"click here to subscribe to our newsletter today variant${i % 2}")
+    val pairText = "quantum flux capacitor aligns the warp manifold precisely"
+    val rows = boiler ++ Seq(100L -> pairText, 101L -> pairText)
+    val uncapped = Dedup.simhashPairs(docs(rows: _*))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.simhashPairs(docs(rows: _*), maxBucket = 8L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((100L, 101L)) && capped.contains((100L, 101L)),
+      s"the cold genuine pair must survive the cap, got $capped")
+    assert(capped.size < uncapped.size,
+      s"the cap must prune hot-bucket boilerplate pairs (${capped.size} vs ${uncapped.size})")
+    assert(capped.subsetOf(uncapped), "capping may only remove pairs, never invent them")
+  }
+
   test("dedup diagnostics: df guard bounds the largest posting bucket (histogram evidence)") {
     // 40 docs all sharing one boilerplate sentence → its shingles have
     // raw df = 40; with maxDf = 8 the kept index must contain NO
@@ -427,6 +446,23 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       s"as-of must not plan a nested loop:\n$plan")
     assert(plan.contains("__graft_epoch"), plan.take(2000))
+  }
+
+  test("as-of join: composite keys == naive oracle on (k1, k2)") {
+    import graft.ops.AsOf
+    val left = Seq((1L, "x", 10L, 100L), (1L, "y", 10L, 101L), (2L, "x", 30L, 200L),
+      (1L, "x", 50L, 102L)).toDF("k1", "k2", "ts", "row_id")
+    val right = Seq((1L, "x", 5L, 1005L), (1L, "y", 10L, 2010L), (1L, "x", 40L, 1040L),
+      (2L, "z", 1L, 9001L)).toDF("k1", "k2", "ts", "v")
+    val got = AsOf.asofJoinMulti(left, right, Seq("k1", "k2"), "ts", "v", epochWidth = 16L)
+      .select($"row_id", $"asof_val").as[(Long, Option[Long])].collect().toMap
+    val naive = left.as("l")
+      .join(right.as("r"),
+        $"l.k1" === $"r.k1" && $"l.k2" === $"r.k2" && $"r.ts" <= $"l.ts", "left")
+      .groupBy($"row_id").agg(max_by($"r.v", $"r.ts").as("asof_val"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == naive && got == Map(
+      100L -> Some(1005L), 101L -> Some(2010L), 200L -> None, 102L -> Some(1040L)))
   }
 
   test("as-of join: hot key spreads over (key, epoch) slices — no single-task funnel") {

@@ -245,6 +245,46 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("RangeJoinRewrite: LEFT OUTER BETWEEN joins rewritten with null-extension preserved") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pts = (0 until 120).map(i => (i.toLong % 3, i.toLong, (i * 31 % 400).toLong))
+      .toDF("k", "pid", "ts")
+    val ivs = (0 until 10).map { i =>
+      val s = (i * 37 % 400).toLong; (i.toLong % 3, s, s + 25)
+    }.toDF("k2", "s", "e").distinct()
+
+    // range preds in a LEFT OUTER condition: points with no containing
+    // interval must survive null-extended. The UNKEYED form is the
+    // nested-loop counterfactual; the keyed form plans a hash join on k
+    // whose per-key matching is still |L|x|R| — the bin narrows both.
+    def unkeyed = pts.join(ivs, $"ts" >= $"s" && $"ts" <= $"e", "left")
+    def keyed = pts.join(ivs, $"k" === $"k2" && $"ts" >= $"s" && $"ts" <= $"e", "left")
+
+    val saved = spark.experimental.extraOptimizations
+    try {
+      val expU = unkeyed.collect().map(_.toSeq).toSet
+      val expK = keyed.collect().map(_.toSeq).toSet
+      assert(expK.exists(_.exists(_ == null)), "fixture must produce null-extended rows")
+      assert(unkeyed.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+
+      spark.experimental.extraOptimizations = saved :+ graft.plans.RangeJoinRewrite
+      spark.conf.set(graft.plans.RangeJoinRewrite.BIN_WIDTH_KEY, "32")
+      val planU = unkeyed.queryExecution.executedPlan.toString
+      assert(!planU.contains("BroadcastNestedLoopJoin") && planU.contains("__graft"),
+        s"rewrite must replace the left-outer nested loop:\n$planU")
+      assert(unkeyed.collect().map(_.toSeq).toSet == expU,
+        "unkeyed: matched AND null-extended rows must be identical")
+      assert(keyed.queryExecution.executedPlan.toString.contains("__graft"),
+        "bin must join the key list in the keyed left-outer form too")
+      assert(keyed.collect().map(_.toSeq).toSet == expK,
+        "keyed: matched AND null-extended rows must be identical")
+    } finally {
+      spark.experimental.extraOptimizations = saved
+      spark.conf.unset(graft.plans.RangeJoinRewrite.BIN_WIDTH_KEY)
+    }
+  }
+
   test("GraftExtensions: the spark.sql.extensions deployment path applies the rewrite in a fresh session") {
     import org.apache.spark.sql.SparkSession
     val old = spark // force-init the shared session first
