@@ -61,6 +61,7 @@ object SparkEntry {
     "text_langid" -> (Queries.textLangId _),
     "text_fingerprint" -> (Queries.textFingerprint _),
     "text_rolling_hash" -> (Queries.textRollingHash _),
+    "text_sample_stratified" -> (Queries.textSampleStratified _),
     "text_vocab_topk" -> (Queries.textVocabTopk _),
     "dedup_exact" -> (Queries.dedupExact _),
     "curation_pipeline" -> (Queries.curationPipeline _),
@@ -740,6 +741,18 @@ object SparkEntry {
          |      t -> ${P.polyhash31Sql("t")} % 1048576)),
          |    (a, x) -> (a*1009 + x) % 2147483647) AS rh
          |FROM documents""".stripMargin,
+
+    // content-keyed stratified sample: the oracle recomputes the SAME
+    // mix31(doc_id) < floor(fraction·2^31) membership test, so the
+    // sampled row set matches hash-exactly (not statistically)
+    "text_sample_stratified" -> {
+      val cases = Queries.sampleFractions.toSeq.sortBy(_._1)
+        .map { case (s, f) => s"WHEN '$s' THEN ${graft.ops.Sampling.threshold(f)}" }
+        .mkString(" ")
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
+         |WHERE ${P.mix31Sql("doc_id")} < CASE lang $cases
+         |  ELSE ${graft.ops.Sampling.threshold(Queries.sampleDefault)} END""".stripMargin
+    },
 
     // (count desc, token) is a total order — the top-20 cut is unique
     "text_vocab_topk" ->

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling — the downsampling step of a
+  * training-data pipeline (rebalance a web corpus by language, quality
+  * tier, source domain…).
+  *
+  * Membership is CONTENT-KEYED, never positional or RNG-stateful: a
+  * row is kept iff `mix31(id) < floor(fraction(stratum) · 2^31)` —
+  * [[Portable.mix31]] is the engine's SQL-portable mixer, so
+  *  - the sample is identical under any partitioning/parallelism
+  *    (re-runs, AQE re-plans and cluster resizes cannot change it),
+  *  - subsampling is MONOTONE in the fraction: the 10% sample is a
+  *    subset of the 20% sample (same threshold comparison), the
+  *    property that makes ablation ladders comparable,
+  *  - the DuckDB oracle re-derives the exact member set (hash-exact
+  *    correctness, not statistical assertions).
+  *
+  * Pure Column tree (no UDF): one narrow codegen stage, predicate
+  * evaluated at scan speed; at 100 TB this is a filter pushed against
+  * the scan, nothing more.
+  */
+object Sampling {
+
+  /** [[Portable.mix31]] as Column arithmetic — every intermediate stays
+    * under 2^62, ANSI-safe. Defined for non-negative ids.
+    */
+  def mix31Col(k: Column): Column = {
+    def lcg(x: Column) = (lit(1103515245L) * x + lit(12345L)) % lit(Portable.M31)
+    val x1 = lcg(k % lit(Portable.M31))
+    val x2 = lcg(x1.bitwiseXOR(shiftright(x1, 13)))
+    lcg(x2.bitwiseXOR(shiftright(x2, 7)))
+  }
+
+  /** Integer keep-threshold for a fraction — computed ONCE driver-side
+    * so the engine literal and the SQL oracle literal are the same
+    * number by construction.
+    */
+  def threshold(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    math.floor(fraction * Portable.M31).toLong
+  }
+
+  /** Stratified Bernoulli sample: keep each row with its stratum's
+    * fraction (`default` for unlisted strata; 0 drops them).
+    */
+  def sampleStratified(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      default: Double = 0.0): DataFrame = {
+    val th = fractions.toSeq.sortBy(_._1).foldLeft(lit(threshold(default))) {
+      case (acc, (s, f)) => when(col(strataCol) === s, lit(threshold(f))).otherwise(acc)
+    }
+    df.filter(mix31Col(col(idCol).cast("long")) < th)
+  }
+
+  /** Un-stratified fixed-rate sample. */
+  def sample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(mix31Col(col(idCol).cast("long")) < lit(threshold(fraction)))
+}

@@ -870,6 +870,22 @@ object Queries {
     Multimodal.thumbnailPpm(spark, media, maxSide = 16L).toDF()
   }
 
+  /** Stratified-sample fractions shared by the harness query and the
+    * SQL oracle (thresholds computed once, driver-side, from these).
+    */
+  val sampleFractions: Map[String, Double] = Map("en" -> 0.5, "de" -> 0.25)
+  val sampleDefault: Double = 0.1
+
+  /** Deterministic stratified corpus subsample (training-data
+    * rebalance): content-keyed Bernoulli per language — hash-exact
+    * membership the oracle re-derives from the same mix31 formula, and
+    * monotone in the fraction (ablation ladders nest).
+    */
+  def textSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.sampleStratified(
+      table(spark, dir, "documents").select(col("doc_id").cast("long"), col("lang")),
+      "doc_id", "lang", sampleFractions, sampleDefault)
+
   /** Stateful sessionization via the streaming state machine
     * (mapGroupsWithState) run in batch mode — same oracle as the
     * lag-window formulation.

@@ -329,6 +329,33 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped.size > capped.size, "without the cap the boiler bucket explodes")
   }
 
+  test("stratified sampler: content-keyed, partition-invariant, monotone-nested, scan-local") {
+    import graft.ops.Sampling
+    val rows = (0L until 4000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+    val df = rows.toDF("doc_id", "lang")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").as[Long].collect().toSet
+
+    val s1 = ids(Sampling.sampleStratified(df, "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.2)))
+    // partitioning invariance: same member set at any parallelism
+    val s2 = ids(Sampling.sampleStratified(df.repartition(17), "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.2)))
+    assert(s1 == s2)
+    // monotone nesting: the 20% sample is a subset of the 50% sample
+    val small = ids(Sampling.sample(df, "doc_id", 0.2))
+    val big = ids(Sampling.sample(df, "doc_id", 0.5))
+    assert(small.subsetOf(big) && small.nonEmpty && big.size > small.size)
+    // rate sanity (mix31 is uniform enough at n=4000: ±5 pp)
+    assert(math.abs(big.size / 4000.0 - 0.5) < 0.05, s"rate off: ${big.size}")
+    // unlisted strata drop by default
+    val dropped = Sampling.sampleStratified(df, "doc_id", "lang", Map("en" -> 1.0))
+    assert(dropped.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
+    // plan: pure filter, no shuffle, no UDF
+    val plan = Sampling.sample(df, "doc_id", 0.5).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"),
+      s"sampler must stay scan-local:\n$plan")
+  }
+
   test("simhash maxBucket cap prunes the hot boilerplate bucket, keeps the cold genuine pair") {
     // two 15-doc groups of IDENTICAL boilerplate (every chunk bucket
     // size 15 — hot) + one genuine identical pair with unrelated
