@@ -61,6 +61,7 @@ object SparkEntry {
     "text_langid" -> (Queries.textLangId _),
     "text_fingerprint" -> (Queries.textFingerprint _),
     "text_rolling_hash" -> (Queries.textRollingHash _),
+    "text_pack_shards" -> (Queries.textPackShards _),
     "text_sample_stratified" -> (Queries.textSampleStratified _),
     "text_vocab_topk" -> (Queries.textVocabTopk _),
     "dedup_exact" -> (Queries.dedupExact _),
@@ -741,6 +742,20 @@ object SparkEntry {
          |      t -> ${P.polyhash31Sql("t")} % 1048576)),
          |    (a, x) -> (a*1009 + x) % 2147483647) AS rh
          |FROM documents""".stripMargin,
+
+    // the two-phase distributed prefix sum must equal the plain global
+    // window cumsum (same mix31 order, same start-offset shard rule)
+    "text_pack_shards" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         |    ${P.mix31Sql("doc_id")} AS ord
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY ord, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, n_tokens, (cum - n_tokens) // 5000 AS shard
+         |FROM c""".stripMargin,
 
     // content-keyed stratified sample: the oracle recomputes the SAME
     // mix31(doc_id) < floor(fraction·2^31) membership test, so the

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Token-budget shard packing — the "split the corpus into ~N-token
+  * training shards" step of a data pipeline. The core primitive is a
+  * DISTRIBUTED PREFIX SUM, which Spark's built-ins only offer as
+  * `sum().over(Window.orderBy(...))` with NO partition spec — a plan
+  * that funnels the whole table through one task (Spark even warns).
+  * This implementation is the classic two-phase scan:
+  *
+  *  1. range-partition by the (deterministic) global order key and
+  *     compute per-partition LOCAL running sums in one ordered pass;
+  *  2. aggregate the ≤ P per-partition totals (tiny), prefix-scan them
+  *     on the driver, and broadcast the per-partition offsets back —
+  *     global cumsum = local cumsum + partition offset.
+  *
+  * Cost at any scale: one range shuffle + one narrow pass + a
+  * broadcast join against a P-row table. No single-task stage.
+  *
+  * Order is CONTENT-KEYED (`mix31(id), id` — same discipline as
+  * [[Sampling]]): deterministic under any partitioning/parallelism,
+  * re-derivable by the SQL oracle, and it shuffles documents so shards
+  * are content-mixed rather than source-ordered. A document is
+  * assigned to the shard its START offset falls in
+  * (`shard = (cum - tokens) div budget`): shards hold ≥ budget tokens
+  * except the last, and every document lands in exactly one shard.
+  */
+object Shards {
+
+  def packByBudget(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budget: Long,
+      numParts: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p =
+      if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+
+    val base = df.select(
+      col(idCol).cast("long").as("id"),
+      coalesce(col(tokensCol).cast("long"), lit(0L)).as("tok"))
+      .withColumn("ord", Sampling.mix31Col(col("id")))
+    val parts = base
+      .repartitionByRange(p, col("ord"), col("id"))
+      .sortWithinPartitions("ord", "id")
+
+    // phase 1: local running sums, tagged with the ORDERED partition id
+    // (range partition i holds keys strictly below partition i+1's).
+    // Cut: the frame feeds both the totals aggregate and the final join.
+    val local = graft.util.Cut.cut(
+      parts.select("id", "tok").as[(Long, Long)]
+        .mapPartitions { it =>
+          val pid = TaskContext.getPartitionId()
+          var acc = 0L
+          it.map { case (id, tok) => acc += tok; (pid, id, tok, acc) }
+        }
+        .toDF("pid", "id", "tok", "lcum"))
+
+    // phase 2: P totals -> driver prefix scan -> broadcast offsets
+    val totals = local.groupBy("pid").agg(max(col("lcum")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
+    val offDf = (0 until p).map(i => (i, offsets(i))).toDF("pid", "off")
+
+    local.join(broadcast(offDf), "pid")
+      .select(col("id").as(idCol), col("tok").as(tokensCol),
+        expr(s"(lcum + off - tok) div $budget").as("shard"))
+  }
+}

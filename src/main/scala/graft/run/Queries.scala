@@ -886,6 +886,21 @@ object Queries {
       table(spark, dir, "documents").select(col("doc_id").cast("long"), col("lang")),
       "doc_id", "lang", sampleFractions, sampleDefault)
 
+  /** Token-budget shard packing via the distributed two-phase prefix
+    * sum (graft.ops.Shards): content-keyed global order, local running
+    * sums per range partition, driver prefix-scan of the P totals,
+    * broadcast offsets. The oracle recomputes the same cumulative sum
+    * with a plain window — two entirely different execution strategies
+    * (no single-task stage here vs. one global window there) that must
+    * agree row-for-row.
+    */
+  def textPackShards(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"),
+      size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.ops.Shards.packByBudget(toks, "doc_id", "n_tokens", budget = 5000L)
+  }
+
   /** Stateful sessionization via the streaming state machine
     * (mapGroupsWithState) run in batch mode — same oracle as the
     * lag-window formulation.

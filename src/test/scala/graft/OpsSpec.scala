@@ -356,6 +356,40 @@ class OpsSpec extends AnyFunSuite {
       s"sampler must stay scan-local:\n$plan")
   }
 
+  test("shard packing: two-phase prefix sum == single-window twin; no single-task window") {
+    import graft.ops.Shards
+    val rows = (0L until 3000L).map(i => (i, 1L + (i * 7) % 100))
+    val df = rows.toDF("doc_id", "n_tokens")
+    val got = Shards.packByBudget(df, "doc_id", "n_tokens", budget = 1000L, numParts = 16)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    // twin: the naive global-window cumsum (the single-task plan this
+    // operator exists to avoid)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(graft.ops.Sampling.mix31Col($"doc_id"), $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val twin = df.withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", expr("(cum - n_tokens) div 1000").as("shard"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == twin)
+    // partitioning invariance: same shards at a different parallelism
+    val got2 = Shards.packByBudget(df.repartition(7), "doc_id", "n_tokens",
+      budget = 1000L, numParts = 5).select("doc_id", "shard")
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == got)
+    // start-offset rule ⇒ every shard except the last is within one
+    // max-document of the budget: docs are contiguous, so a shard's
+    // total is budget ± (maxDocTokens - 1) = 1000 ± 99
+    val sizes = Shards.packByBudget(df, "doc_id", "n_tokens", 1000L, numParts = 16)
+      .groupBy("shard").agg(sum("n_tokens").as("s"))
+      .orderBy("shard").as[(Long, Long)].collect()
+    assert(sizes.dropRight(1).forall(s => math.abs(s._2 - 1000L) <= 99L),
+      sizes.take(5).mkString(","))
+    // plan: the operator's own plan has NO Window node at all
+    val plan = Shards.packByBudget(df, "doc_id", "n_tokens", 1000L, numParts = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"two-phase scan must not plan a window:\n$plan")
+  }
+
   test("simhash maxBucket cap prunes the hot boilerplate bucket, keeps the cold genuine pair") {
     // two 15-doc groups of IDENTICAL boilerplate (every chunk bucket
     // size 15 — hot) + one genuine identical pair with unrelated
