@@ -517,4 +517,23 @@ object Dedup {
       .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk", "key")))
     log2Hist(chunked.groupBy("chunk", "key").agg(count(lit(1)).as("sz")), "sz")
   }
+
+  /** Embedding sign-hash (table, bucket) blocking-key size histogram
+    * (the [[embeddingNearDupPairsLsh]] blocking structure).
+    */
+  def embeddingBucketHistogram(emb: DataFrame, tables: Int = 8, bits: Int = 3,
+      dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planes = Similarity.hyperplanes(tables, bits, dim)
+    val buckets = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          (0 until tables).iterator.map(t => (id, t, Similarity.bucketOf(v, planes(t))))
+        }
+      }
+      .toDF("vec_id", "t", "bucket")
+    log2Hist(buckets.groupBy("t", "bucket").agg(count(lit(1)).as("sz")), "sz")
+  }
 }

@@ -432,6 +432,12 @@ class OpsSpec extends AnyFunSuite {
     val mh = Dedup.minhashBucketHistogram(d).agg(max($"max_size")).collect()(0).getLong(0)
     val sh = Dedup.simhashKeyHistogram(d).agg(max($"max_size")).collect()(0).getLong(0)
     assert(mh >= 1L && mh <= 42L && sh >= 1L && sh <= 42L)
+    // embedding sign-hash histogram: bucket sizes bounded by |vectors|
+    val emb = (0 until 30).map(i => (i.toLong,
+      Array.tabulate(16)(dd => math.cos(i * 0.7 + dd).toFloat).toSeq)).toDF("vec_id", "embedding")
+    val eb = Dedup.embeddingBucketHistogram(emb, tables = 4, bits = 3, dim = 16)
+      .agg(max($"max_size")).collect()(0).getLong(0)
+    assert(eb >= 1L && eb <= 30L)
   }
 
   test("IVF at nLists=256 on sf0.1: broadcast assignment, no plan blowup") {
