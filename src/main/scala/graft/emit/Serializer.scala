@@ -78,13 +78,19 @@ object Serializer {
 
   // ---------- prefix compaction (turtle / trig / n3) ----------
 
-  /** Conservative Turtle PN_LOCAL check (ASCII letters/digits/_/-,
-    * no dots or escapes) — anything outside stays a full `<IRI>`;
-    * a missed compaction is valid Turtle, a bad one is not.
+  /** Conservative Turtle PN_LOCAL check — STRICTLY ASCII
+    * letters/digits/_/-, no dots or escapes. `Character.isLetterOrDigit`
+    * would admit Unicode letters below PN_CHARS_BASE's U+00C0 floor
+    * (µ, ª, º…), producing a prefixed name conforming parsers reject
+    * (code-review round 4). Anything outside stays a full `<IRI>`; a
+    * missed compaction is valid Turtle, a bad one is not.
     */
-  def isPnLocal(s: String): Boolean =
-    s.nonEmpty && (s.head.isLetterOrDigit || s.head == '_') &&
-      s.forall(c => c.isLetterOrDigit || c == '_' || c == '-')
+  def isPnLocal(s: String): Boolean = {
+    def azAZ(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    def digit(c: Char) = c >= '0' && c <= '9'
+    s.nonEmpty && (azAZ(s.head) || digit(s.head) || s.head == '_') &&
+      s.forall(c => azAZ(c) || digit(c) || c == '_' || c == '-')
+  }
 
   /** `prefix:local` when a registered namespace + legal local name
     * covers the IRI (longest namespace wins), else `<iri>`.

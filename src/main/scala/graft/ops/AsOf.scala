@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
 
 /** As-of (point-in-time) join — the "most recent right row at or
   * before each left row's time, per key" operator the task brief names
@@ -38,7 +38,11 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   *  - a right row with a NULL value IS the match when it is the
   *    latest: the carry moves whole rows (a non-null struct), so the
   *    join yields NULL there instead of skipping to an older value;
-  *  - left rows with NULL ts match nothing → NULL.
+  *  - left rows with NULL ts match nothing → NULL;
+  *  - NULL KEYS follow join equality, not window grouping: a NULL-key
+  *    right row never matches anything (dropped up front), and a
+  *    NULL-key left row is PRESERVED with a NULL asof value (the
+  *    hand-back join is null-safe on the keys).
   *
   * Determinism contract: the right side must be unique per (key, ts) —
   * pre-aggregate duplicates (the harness query does) — otherwise
@@ -60,8 +64,13 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 object AsOf {
 
   /** Monotone integral projection of the ts column (epoch µs for
-    * timestamp types, identity otherwise) — epoch slicing only needs
-    * monotonicity, because the carry windows still order by the raw ts.
+    * timestamp types, epoch days for dates, identity/truncation for
+    * numerics) — epoch slicing only needs monotonicity, because the
+    * carry windows still order by the raw ts. Non-temporal non-numeric
+    * ts types are REJECTED at plan time: the old per-key window could
+    * order them lexically, but epoch slicing cannot bin them, and a
+    * silent `cast("long")` would either throw mid-job (ANSI) or
+    * null-epoch every row (code-review round 4).
     */
   private def tsLong(df: DataFrame, tsCol: String): Column =
     df.schema(tsCol).dataType match {
@@ -69,7 +78,11 @@ object AsOf {
       // NTZ → instant through the session zone (the engine pins UTC);
       // any fixed zone keeps the map monotone, which is all binning needs
       case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
-      case _                => col(tsCol).cast("long")
+      case DateType         => unix_date(col(tsCol)).cast("long")
+      case _: NumericType   => col(tsCol).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"asofJoin ts column '$tsCol' has unbinnable type $other " +
+          "(supported: timestamp, timestamp_ntz, date, numeric)")
     }
 
   def asofJoin(
@@ -112,6 +125,10 @@ object AsOf {
     // match instead of skipping past it
     val r = right
       .filter(col(tsCol).isNotNull) // NULL ts never satisfies r.ts <= l.ts
+      // a NULL key never satisfies l.k = r.k either — and the window
+      // partitioning WOULD group null keys together, so drop them
+      // explicitly (join-equality semantics, matching the naive oracle)
+      .filter(keys.map(_.isNotNull).reduce(_ && _))
       .select(
         (keys ++ Seq(col(tsCol), struct(col(valCol).as("v")).as("__graft_rrow"),
           lit(0).as("__graft_side")) ++
@@ -153,9 +170,20 @@ object AsOf {
       .withColumn("__graft_prev", last(col("__graft_last"), ignoreNulls = true).over(wEpoch))
       .select(keys :+ col("__graft_epoch") :+ col("__graft_prev"): _*)
 
+    // hand-back join is NULL-SAFE on the keys: a left row with a NULL
+    // key must be PRESERVED (with a NULL asof value — its summary group
+    // exists but holds no right rows, which were filtered above); a
+    // plain inner equi join would silently drop it (code-review
+    // round 4: row loss vs the pre-epoch implementation)
+    val ci = keyCols.zipWithIndex.foldLeft(carryIn) { case (d, (k, i)) =>
+      d.withColumnRenamed(k, s"__graft_ck$i")
+    }.withColumnRenamed("__graft_epoch", "__graft_ce")
+    val joinCond = keyCols.zipWithIndex
+      .map { case (k, i) => col(k) <=> col(s"__graft_ck$i") }
+      .reduce(_ && _) && col("__graft_epoch") === col("__graft_ce")
     carried
       .filter(col("__graft_side") === 1)
-      .join(carryIn, keyCols :+ "__graft_epoch")
+      .join(ci, joinCond)
       .withColumn(asofCol,
         coalesce(col("__graft_carry"), col("__graft_prev")).getField("v"))
       .select(leftCols.map(col) :+ col(asofCol): _*)

@@ -428,23 +428,32 @@ object Dedup {
     * is narrow (no embedding duplication across tables; vectors are
     * re-joined once for verification).
     */
+  /** (vec_id, t, bucket) sign-hash table — shared by the pair operator
+    * (which lineage-cuts it) and the bucket-size diagnostic.
+    */
+  private def embeddingBucketTable(emb: DataFrame, tables: Int, bits: Int,
+      dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planes = Similarity.hyperplanes(tables, bits, dim)
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          (0 until tables).iterator.map(t => (id, t, Similarity.bucketOf(v, planes(t))))
+        }
+      }
+      .toDF("vec_id", "t", "bucket")
+  }
+
   def embeddingNearDupPairsLsh(emb: DataFrame, tau: Double = 0.95,
       tables: Int = 4, bits: Int = 8, dim: Int = 64): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val planes = Similarity.hyperplanes(tables, bits, dim)
     // cut: both sides of the self-join consume this — without it the
     // tables×bits plane dot products over the corpus run twice (same
     // convention as the minhash/simhash signature tables)
-    val buckets = graft.util.Cut.cut(
-      emb.select(col("vec_id").cast("long"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .mapPartitions { it =>
-          it.flatMap { case (id, v) =>
-            (0 until tables).iterator.map(t => (id, t, Similarity.bucketOf(v, planes(t))))
-          }
-        }
-        .toDF("vec_id", "t", "bucket"))
+    val buckets = graft.util.Cut.cut(embeddingBucketTable(emb, tables, bits, dim))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -518,22 +527,16 @@ object Dedup {
     log2Hist(chunked.groupBy("chunk", "key").agg(count(lit(1)).as("sz")), "sz")
   }
 
-  /** Embedding sign-hash (table, bucket) blocking-key size histogram
-    * (the [[embeddingNearDupPairsLsh]] blocking structure).
+  /** Embedding sign-hash (table, bucket) blocking-key size histogram —
+    * same table builder AND same defaults as
+    * [[embeddingNearDupPairsLsh]], so the diagnostic measures exactly
+    * the structure the operator runs with unless the caller overrides
+    * both identically (code-review round 4: diverging defaults made
+    * the default histogram describe a structure the operator never
+    * builds).
     */
-  def embeddingBucketHistogram(emb: DataFrame, tables: Int = 8, bits: Int = 3,
-      dim: Int = 64): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val planes = Similarity.hyperplanes(tables, bits, dim)
-    val buckets = emb.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, v) =>
-          (0 until tables).iterator.map(t => (id, t, Similarity.bucketOf(v, planes(t))))
-        }
-      }
-      .toDF("vec_id", "t", "bucket")
-    log2Hist(buckets.groupBy("t", "bucket").agg(count(lit(1)).as("sz")), "sz")
-  }
+  def embeddingBucketHistogram(emb: DataFrame, tables: Int = 4, bits: Int = 8,
+      dim: Int = 64): DataFrame =
+    log2Hist(embeddingBucketTable(emb, tables, bits, dim)
+      .groupBy("t", "bucket").agg(count(lit(1)).as("sz")), "sz")
 }

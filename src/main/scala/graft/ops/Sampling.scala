@@ -25,11 +25,17 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** [[Portable.mix31]] as Column arithmetic — every intermediate stays
-    * under 2^62, ANSI-safe. Defined for non-negative ids.
+    * under 2^62, ANSI-safe. The first reduction uses `pmod`, not `%`:
+    * Spark's `%` keeps the dividend's sign, so a negative id would
+    * carry a negative value through the pipeline and pass EVERY
+    * threshold — even fraction 0.0 (code-review round 4). With pmod
+    * the function is total and lands in [0, 2^31) for any id;
+    * non-negative ids match [[Portable.mix31]] / the SQL oracle
+    * exactly (the `%`-based SQL twin only ever sees non-negative ids).
     */
   def mix31Col(k: Column): Column = {
     def lcg(x: Column) = (lit(1103515245L) * x + lit(12345L)) % lit(Portable.M31)
-    val x1 = lcg(k % lit(Portable.M31))
+    val x1 = lcg(pmod(k, lit(Portable.M31)))
     val x2 = lcg(x1.bitwiseXOR(shiftright(x1, 13)))
     lcg(x2.bitwiseXOR(shiftright(x2, 7)))
   }

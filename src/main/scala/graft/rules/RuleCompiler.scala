@@ -135,20 +135,21 @@ object RuleCompiler {
     "gYear"      -> "yyyy",
     "gYearMonth" -> "yyyy-MM")
 
-  /** Canonical lexical form for a date-family typed literal (datatype
-    * object form `{"base","format"}` — VERDICT round 3, next #6): parse
-    * with the declared format (ISO when absent) and re-emit the XSD
-    * canonical form. Non-date datatypes pass through unchanged.
+  /** Canonical lexical form for a date-family typed literal — ONLY for
+    * the datatype OBJECT form with an explicit `format` (VERDICT round
+    * 3, next #6): parse with the declared format and re-emit the XSD
+    * canonical form. A PLAIN datatype string ("xsd:date", "dateTime")
+    * passes the cell through verbatim, exactly as before this feature:
+    * forcing those through a single strict pattern would silently
+    * suppress valid XSD lexical forms the pattern doesn't cover
+    * (trailing zone designators, fractional seconds — code-review
+    * round 4).
     */
   def canonicalLex(cs: ColumnSpec, c: Column): Column =
-    cs.datatype.map(d => d.stripPrefix("xsd:")).flatMap(canonicalPatterns.get) match {
-      case None => c
-      case Some(outPat) =>
-        val parsed = cs.datatypeFormat match {
-          case Some(f) => try_to_timestamp(c, lit(f))
-          case None    => try_to_timestamp(c, lit(outPat)) // already-canonical input
-        }
-        date_format(parsed, outPat)
+    (cs.datatypeFormat,
+      cs.datatype.map(_.stripPrefix("xsd:")).flatMap(canonicalPatterns.get)) match {
+      case (Some(f), Some(outPat)) => date_format(try_to_timestamp(c, lit(f)), outPat)
+      case _                       => c
     }
 
   // ---- per-column triple generator (C2..C8) ----

@@ -216,12 +216,23 @@ object Pipeline {
   def delete(spark: SparkSession, outDir: String, ruleSetHash: String,
       force: Boolean = false): Long = {
     import org.apache.hadoop.fs.Path
+    val storeDirs = Seq("triples", "edges", "lineage", "metrics", "serialized")
     val root = new Path(outDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lineagePath = new Path(root, "lineage")
     val removed =
-      if (!fs.exists(lineagePath)) 0L
-      else {
+      if (!fs.exists(lineagePath)) {
+        // no lineage table = ownership UNVERIFIABLE. Data with no
+        // lineage (mid-write crash leftovers, or a mistyped --out
+        // pointing at a foreign directory) must not be deleted on an
+        // unverified claim (code-review round 4); only a fully empty
+        // store is the idempotent 0-row no-op.
+        val dataDirs = storeDirs.filter(d => fs.exists(new Path(root, d)))
+        require(force || dataDirs.isEmpty,
+          s"store $outDir has data (${dataDirs.mkString(",")}) but no lineage " +
+            "table — ownership unverifiable, refusing to delete (force=true overrides)")
+        0L
+      } else {
         val lineage = spark.read.parquet(lineagePath.toString)
         val hashes = lineage.select("rule_set_hash").distinct()
           .collect().map(_.getString(0)).toSet
@@ -230,8 +241,7 @@ object Pipeline {
             s"$ruleSetHash — refusing to delete mixed ownership (force=true overrides)")
         lineage.filter(col("rule_set_hash") === ruleSetHash).count()
       }
-    Seq("triples", "edges", "lineage", "metrics", "serialized")
-      .foreach(d => fs.delete(new Path(root, d), true))
+    storeDirs.foreach(d => fs.delete(new Path(root, d), true))
     removed
   }
 

@@ -44,12 +44,29 @@ object Cut {
     df.sparkSession.sparkContext.getConf
       .getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints", false)
 
+  @volatile private var warnedDowngrade = false
+
   def cut(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isDefined && cleanCheckpointsEnabled(df)) {
-      df.persist(StorageLevel.MEMORY_AND_DISK)
-      try df.checkpoint(eager = true) // second pass reads the cache, not the upstream plan
-      finally df.unpersist(blocking = false)
+    if (sc.getCheckpointDir.isDefined) {
+      if (cleanCheckpointsEnabled(df)) {
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint(eager = true) // second pass reads the cache, not the upstream plan
+        finally df.unpersist(blocking = false)
+      } else {
+        // the downgrade must not be silent: an embedder who set a
+        // checkpoint dir for executor-loss resilience needs to know the
+        // cleaner conf (context-creation-time only) is what gates it
+        if (!warnedDowngrade) {
+          warnedDowngrade = true
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "checkpoint dir is set but spark.cleaner.referenceTracking.cleanCheckpoints " +
+              "is false — lineage cuts fall back to localCheckpoint (no executor-loss " +
+              "recovery) to avoid leaking checkpoint files; set the conf at context " +
+              "creation (graft.Submit does) to enable reliable cuts")
+        }
+        df.localCheckpoint(eager = true)
+      }
     } else df.localCheckpoint(eager = true)
   }
 }

@@ -354,6 +354,11 @@ class OpsSpec extends AnyFunSuite {
     val plan = Sampling.sample(df, "doc_id", 0.5).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"),
       s"sampler must stay scan-local:\n$plan")
+    // negative ids are totalized via pmod: a 0% sample is truly empty
+    // (a signed % would let every negative id pass every threshold)
+    val neg = Seq((-7L, "en"), (-1L, "en"), (3L, "en")).toDF("doc_id", "lang")
+    assert(Sampling.sample(neg, "doc_id", 0.0).count() == 0)
+    assert(Sampling.sample(neg, "doc_id", 1.0).count() == 3)
   }
 
   test("shard packing: two-phase prefix sum == single-window twin; no single-task window") {
@@ -474,15 +479,18 @@ class OpsSpec extends AnyFunSuite {
 
   test("as-of join: epoch-sliced carry == naive inequality-join oracle; inclusive; null edges") {
     import graft.ops.AsOf
-    val left = Seq((1L, Some(10L), 100L), (1L, Some(20L), 101L), (1L, Some(35L), 102L),
-      (2L, Some(5L), 200L), (2L, Some(50L), 201L), (3L, Some(7L), 300L),
-      (1L, None, 103L),       // NULL left ts: matches nothing
-      (2L, Some(70L), 202L))  // lands on the NULL-valued right row at ts 60
+    val left = Seq((Some(1L), Some(10L), 100L), (Some(1L), Some(20L), 101L),
+      (Some(1L), Some(35L), 102L),
+      (Some(2L), Some(5L), 200L), (Some(2L), Some(50L), 201L), (Some(3L), Some(7L), 300L),
+      (Some(1L), None, 103L),       // NULL left ts: matches nothing
+      (Some(2L), Some(70L), 202L),  // lands on the NULL-valued right row at ts 60
+      (None, Some(40L), 400L))      // NULL left KEY: preserved, matches nothing
       .toDF("k", "ts", "row_id")
-    val right = Seq((1L, Some(10L), Some(1000L)), (1L, Some(30L), Some(1030L)),
-      (2L, Some(49L), Some(2049L)), (9L, Some(1L), Some(9001L)),
-      (1L, None, Some(9999L)),  // NULL right ts: never matches (ADVICE r3)
-      (2L, Some(60L), None))    // NULL value IS the match when latest (ADVICE r3)
+    val right = Seq((Some(1L), Some(10L), Some(1000L)), (Some(1L), Some(30L), Some(1030L)),
+      (Some(2L), Some(49L), Some(2049L)), (Some(9L), Some(1L), Some(9001L)),
+      (Some(1L), None, Some(9999L)),  // NULL right ts: never matches (ADVICE r3)
+      (Some(2L), Some(60L), None),    // NULL value IS the match when latest (ADVICE r3)
+      (None, Some(1L), Some(7777L)))  // NULL right KEY: never matches (join equality)
       .toDF("k", "ts", "v")
     // exercise BOTH the auto width and a width that forces one row per
     // slice (all carry flows through the cross-slice summary pass)
@@ -494,7 +502,7 @@ class OpsSpec extends AnyFunSuite {
       // (103), null-valued latest right row → null, not the older value (202)
       assert(got == Map(100L -> Some(1000L), 101L -> Some(1000L), 102L -> Some(1030L),
         200L -> None, 201L -> Some(2049L), 300L -> None,
-        103L -> None, 202L -> None), s"width=$width")
+        103L -> None, 202L -> None, 400L -> None), s"width=$width")
 
       // the naive quadratic formulation is the semantic oracle: join on
       // k with ts_r <= ts_l, keep the max-ts match per left row

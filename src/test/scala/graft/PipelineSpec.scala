@@ -197,6 +197,18 @@ class PipelineSpec extends AnyFunSuite {
     // a fresh run after delete rebuilds from scratch (full lifecycle)
     val (_, m) = Pipeline.runResumableWithMetrics(spark, pages, c.copy(runId = "r3"))
     assert(m.buckets_skipped == 0 && m.buckets_done > 0)
+
+    // data WITHOUT a lineage table (mid-write crash leftovers, or a
+    // mistyped --out): ownership unverifiable -> refuse without force
+    import org.apache.commons.io.FileUtils
+    FileUtils.deleteDirectory(new java.io.File(s"$base/out/lineage"))
+    assert(new java.io.File(s"$base/out/triples").exists())
+    intercept[IllegalArgumentException] {
+      Pipeline.delete(spark, s"$base/out", hash)
+    }
+    assert(new java.io.File(s"$base/out/triples").exists(), "refusal must not delete")
+    assert(Pipeline.delete(spark, s"$base/out", hash, force = true) == 0L)
+    assert(!new java.io.File(s"$base/out/triples").exists())
   }
 
   test("dedup: duplicating the input does not duplicate triples") {
