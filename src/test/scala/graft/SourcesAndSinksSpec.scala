@@ -255,6 +255,36 @@ class SourcesAndSinksSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: stream-static dim enrichment join == batch result (broadcast dim)") {
+    // the classic enrichment shape: a streaming fact joined to a static
+    // broadcast dimension before a windowed aggregate — the stream-
+    // static join is stateless (no watermark needed on the dim side)
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((0L, "bronze"), (1L, "silver"), (2L, "gold"))
+      .toDF("user_tier", "tier_name")
+    val events = (0 until 150).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 60000L), (i % 3).toLong, i * 2.0)
+    }
+    def enrich(df: org.apache.spark.sql.DataFrame) =
+      df.join(broadcast(dim), df("user_id") === dim("user_tier"))
+        .groupBy(col("tier_name"))
+        .agg(count(lit(1)).as("n"), sum(expr("CAST(FLOOR(value*100) AS BIGINT)")).as("sum_c"))
+    val batch = events.toDF("event_id", "ts", "user_id", "value")
+    val expected = enrich(batch).collect().map(_.toSeq).toSet
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val q = enrich(stream.toDF.toDF("event_id", "ts", "user_id", "value"))
+      .writeStream.format("memory").queryName("dimjoin")
+      .outputMode(OutputModeHelper.complete).start()
+    try {
+      stream.addData(events.take(80))
+      q.processAllAvailable()
+      stream.addData(events.drop(80))
+      q.processAllAvailable()
+      assert(spark.table("dimjoin").collect().map(_.toSeq).toSet == expected)
+    } finally q.stop()
+  }
+
   test("streaming: stateful sessionization == batch lag-window formulation") {
     val events = (0 until 300).map { i =>
       (i.toLong, new java.sql.Timestamp(1700000000000L + (i / 3) * 1000000L + i), // gaps
