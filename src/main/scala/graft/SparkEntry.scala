@@ -754,7 +754,8 @@ object SparkEntry {
          |    SUM(n_tokens) OVER (ORDER BY ord, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM t)
-         |SELECT doc_id, n_tokens, (cum - n_tokens) // 5000 AS shard
+         |SELECT doc_id, n_tokens,
+         |  CAST((cum - n_tokens) // 5000 AS BIGINT) AS shard
          |FROM c""".stripMargin,
 
     // content-keyed stratified sample: the oracle recomputes the SAME

@@ -33,9 +33,15 @@ object Portable {
   /** 3-round LCG + xorshift mixer on [0, 2^31). Weak as one LCG step
     * (affine in the seed), adequate after the xorshift interleave; its
     * merit is being expressible verbatim in SQL — see [[mix31Sql]].
+    *
+    * The first reduction is `floorMod`, not `%` (ADVICE round 4): the
+    * Column twin ([[Sampling.mix31Col]]) uses `pmod` so negative ids
+    * stay in [0, 2^31), and all three formulations (Scala, Column,
+    * SQL) must agree on ANY 64-bit id — a signed-`%` SQL twin would
+    * go negative on negative ids and pass every sampling threshold.
     */
   def mix31(k: Long): Long = {
-    var x = (1103515245L * (k % M31) + 12345L) % M31
+    var x = (1103515245L * Math.floorMod(k, M31) + 12345L) % M31
     x ^= (x >>> 13)
     x = (1103515245L * x + 12345L) % M31
     x ^= (x >>> 7)
@@ -49,7 +55,11 @@ object Portable {
     * expression size).
     */
   def mix31Sql(k: String): String =
-    s"list_transform([(1103515245*(($k) % 2147483648) + 12345) % 2147483648], " +
+    // (k % 2^31 + 2^31) % 2^31 is DuckDB's pmod spelling: signed `%`
+    // keeps the dividend's sign, and a negative mix value would compare
+    // below every sampling threshold's positive literal. Intermediates
+    // stay < 2^62 (pmod result < 2^31, times the 2^30 multiplier).
+    s"list_transform([(1103515245*((($k) % 2147483648 + 2147483648) % 2147483648) + 12345) % 2147483648], " +
       "m1 -> list_transform([(1103515245*xor(m1, m1 >> 13) + 12345) % 2147483648], " +
       "m2 -> (1103515245*xor(m2, m2 >> 7) + 12345) % 2147483648)[1])[1]"
 

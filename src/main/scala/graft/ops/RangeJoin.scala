@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Point-in-interval range join — the second operator class the task
   * brief names that Spark's built-ins don't cover well: a raw
@@ -56,7 +56,14 @@ object RangeJoin {
         // compares the raw columns anyway
         s"unix_micros(cast(${q(name)} as timestamp))"
       case DateType         => s"unix_date(${q(name)})"
-      case _                => q(name)
+      case ByteType | ShortType | IntegerType | LongType => q(name)
+      // mirror AsOf.tsLong (ADVICE round 4): reject unbinnable types at
+      // PLAN time — a raw string/double interpolated into `div` either
+      // throws an ANSI cast error mid-job or (ANSI off) null-bins every
+      // row into a silently empty join
+      case other => throw new IllegalArgumentException(
+        s"range-join column '$name' has unbinnable type $other " +
+          "(supported: timestamp, timestamp_ntz, date, integral)")
     }
     expr(s"$base div $binWidth")
   }

@@ -25,8 +25,13 @@ import org.apache.spark.sql.functions._
   * re-derivable by the SQL oracle, and it shuffles documents so shards
   * are content-mixed rather than source-ordered. A document is
   * assigned to the shard its START offset falls in
-  * (`shard = (cum - tokens) div budget`): shards hold ≥ budget tokens
-  * except the last, and every document lands in exactly one shard.
+  * (`shard = (cum - tokens) div budget`): every document lands in
+  * exactly one shard, and each shard's token total is
+  * budget ± (maxDocTokens − 1) — a document longer than the budget
+  * spans several budget windows, so the shard it starts in exceeds the
+  * budget and the windows it covers yield SKIPPED (empty) shard
+  * indices; only with maxDocTokens ≤ budget do all shards but the last
+  * hold ≥ budget tokens (ADVICE round 4).
   */
 object Shards {
 

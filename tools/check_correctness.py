@@ -48,6 +48,16 @@ for name in sorted(os.listdir(out_dir)):
         print(f"[FAIL] {name}: columns {sc} vs {dc}")
         fail += 1
         continue
+    # Type-strict: the driver's compare hashes TYPED values (HUGEINT 3 !=
+    # BIGINT 3), so a value-equal result with a widened oracle type (DuckDB
+    # SUM->HUGEINT, AVG->DOUBLE, // on HUGEINT) is a driver red cell that
+    # the old object-canonicalizing compare could not see. Compare the
+    # DuckDB-reported type of every column pair-wise before the values.
+    type_mismatch = {c: (st[c], dt[c]) for c in sc if st[c] != dt[c]}
+    if type_mismatch:
+        print(f"[FAIL] {name}: column TYPE mismatch (spark vs oracle): {type_mismatch}")
+        fail += 1
+        continue
     if sr == dr:
         print(f"[ok]   {name}: {len(sr)} rows, cols={sc}")
         ok += 1
