@@ -76,6 +76,8 @@ object SparkEntry {
     "dedup_embedding_recall" -> (Queries.dedupEmbeddingRecall _),
     "dedup_clusters" -> (Queries.dedupClusters _),
     "sim_ann_topk" -> (Queries.simAnnTopk _),
+    "kg_link_ann" -> (Queries.kgLinkAnn _),
+    "kg_link_ann_recall" -> (Queries.kgLinkAnnRecall _),
     "sim_ann_lsh" -> (Queries.simAnnLsh _),
     "sim_ann_lsh_recall" -> (Queries.simAnnLshRecall _),
     "sim_ann_ivf" -> (Queries.simAnnIvf _),
@@ -198,6 +200,58 @@ object SparkEntry {
        |    SUM(CASE WHEN dotp >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS bucket
        |  FROM dp GROUP BY vec_id, t)""".stripMargin
   }
+
+  /** Sign-hash bucket table for an arbitrary (id, v) relation —
+    * the two-relation generalization of [[annBucketCtes]] used by the
+    * ANN linker oracle. Emits `<out>(<idCol>, t, bucket)`; expects a
+    * `tb(t, b)` plane grid already in scope.
+    */
+  private def signBucketsOf(rel: String, idCol: String, out: String,
+      dim: Int): String = {
+    val plane = P.planeComponentSql("t", "b", "d")
+    s"""${out}_dp AS (SELECT $idCol, t, b,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, $dim),
+       |      d -> v[d+1] * ($plane))), (a, x) -> a + x) AS dotp
+       |  FROM $rel CROSS JOIN tb),
+       |$out AS (SELECT $idCol, t,
+       |    SUM(CASE WHEN dotp >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS bucket
+       |  FROM ${out}_dp GROUP BY $idCol, t)""".stripMargin
+  }
+
+  /** ANN entity-link candidates (Linker.annLinkCandidates): gazetteer =
+    * every 16th embedding, contexts = the rest; 8×3 sign-LSH blocking,
+    * exact round5-cosine re-rank, minSim 0.2, top-3 per context. Ends
+    * in `ann_link(ctx_id, rk, entity_id, sim)`.
+    */
+  private val kgLinkAnnCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ctx AS (SELECT vec_id AS ctx_id, v FROM e WHERE vec_id % 16 <> 0),
+       |ent AS (SELECT vec_id AS entity_id, v FROM e WHERE vec_id % 16 = 0),
+       |tb AS (SELECT tt.t AS t, bb2.b AS b
+       |  FROM (SELECT unnest(range(0, 8)) AS t) tt
+       |  CROSS JOIN (SELECT unnest(range(0, 3)) AS b) bb2),
+       |${signBucketsOf("ctx", "ctx_id", "cbk", 64)},
+       |${signBucketsOf("ent", "entity_id", "ebk", 64)},
+       |kcand AS (SELECT DISTINCT ctx_id, entity_id
+       |  FROM cbk JOIN ebk ON cbk.t = ebk.t AND cbk.bucket = ebk.bucket),
+       |ksc AS (SELECT ctx_id, entity_id,
+       |    round(${P.cosineSql("q.v", "c.v", 64)}, 5) AS sim
+       |  FROM kcand JOIN ctx q USING (ctx_id) JOIN ent c USING (entity_id)),
+       |krk AS (SELECT *, row_number() OVER (PARTITION BY ctx_id
+       |    ORDER BY sim DESC, entity_id) AS rk FROM ksc WHERE sim >= 0.2),
+       |ann_link AS (SELECT ctx_id, CAST(rk AS BIGINT) AS rk, entity_id, sim
+       |  FROM krk WHERE rk <= 3)""".stripMargin
+
+  /** Brute twin: every (context, entity) scored, same threshold/rank.
+    * Ends in `ann_brute(ctx_id, entity_id)`.
+    */
+  private val kgLinkAnnBruteCtes: String =
+    s"""bsc AS (SELECT ctx_id, entity_id,
+       |    round(${P.cosineSql("q.v", "c.v", 64)}, 5) AS sim
+       |  FROM ctx q CROSS JOIN ent c),
+       |brk AS (SELECT *, row_number() OVER (PARTITION BY ctx_id
+       |    ORDER BY sim DESC, entity_id) AS rk FROM bsc WHERE sim >= 0.2),
+       |ann_brute AS (SELECT ctx_id, entity_id FROM brk WHERE rk <= 3)""".stripMargin
 
   /** LSH ANN top-k (8 tables × 3 bits, exact re-rank). Ends in
     * `lsh_topk(query_id, rk, neighbor_id, sim)`.
@@ -860,6 +914,16 @@ object SparkEntry {
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id
          |  WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.35)
          |${recallSelect("erel", "arel", "id_a", "id_b")}""".stripMargin,
+
+    "kg_link_ann" ->
+      s"""WITH $kgLinkAnnCtes
+         |SELECT ctx_id, rk, entity_id, sim FROM ann_link""".stripMargin,
+
+    "kg_link_ann_recall" ->
+      s"""WITH $kgLinkAnnCtes,
+         |$kgLinkAnnBruteCtes,
+         |arel AS (SELECT ctx_id, entity_id FROM ann_link)
+         |${recallSelect("ann_brute", "arel", "ctx_id", "entity_id")}""".stripMargin,
 
     "sim_ann_lsh" ->
       s"""WITH $annLshCtes

@@ -82,6 +82,99 @@ object Linker {
         col("score_bp"))
   }
 
+  /** Embedding-based link CANDIDATES — recall beyond exact surface
+    * matching (VERDICT round 4, item 4): a mention context whose
+    * surface never string-matches a gazetteer alias can still link to
+    * the entity whose embedding it sits next to.
+    *
+    * 100 TB shape: the GAZETTEER side (entity embeddings + their
+    * sign-LSH bucket index) is broadcast — gazetteers are millions of
+    * rows, not billions — and the context corpus streams through ONE
+    * narrow mapPartitions stage: per context, probe the `tables`
+    * broadcast buckets, union the entity candidates, re-rank by exact
+    * cosine, emit top-k. ZERO shuffles, no self-join, no candidate
+    *-pair blowup — linking at scan speed, the same broadcast-structure
+    * discipline as the Aho-Corasick mention detector. (Contrast
+    * [[graft.ops.Similarity.lshTopK]], which solves the symmetric
+    * corpus×corpus problem with a bucket join; here the asymmetry —
+    * tiny entity side, huge context side — is the whole design.)
+    *
+    * Determinism: planes/buckets come from [[graft.ops.Portable]]
+    * (exact dyadic components, fixed-order folds), ranking is
+    * (round5(cosine) DESC, entity_id ASC) — partitioning-invariant and
+    * bit-reproducible by the SQL oracle (`kg_link_ann`).
+    *
+    * Typed mapPartitions, not Column HOFs: the per-row probe loop over
+    * broadcast arrays is exactly the signature-loop case where Spark's
+    * higher-order Column functions run interpreted (round-1 finding).
+    *
+    * @param contexts (ctx_id, embedding) — the big side, streamed
+    * @param entities (entity_id, embedding) — the gazetteer, collected
+    *                 to the driver and broadcast (bounded by contract)
+    * @param minSim   drop candidates below this exact cosine
+    * @return (ctx_id, rk, entity_id, sim) — ≤ k rows per context
+    */
+  def annLinkCandidates(contexts: DataFrame, entities: DataFrame, k: Int,
+      tables: Int = 8, bits: Int = 3, dim: Int = 64,
+      minSim: Double = 0.0): DataFrame =
+    annLink(contexts, entities, k, tables, bits, dim, minSim, bucketed = true)
+
+  /** Brute-force twin of [[annLinkCandidates]]: scores EVERY entity per
+    * context (no bucket pruning). Same broadcast + narrow-stage plan —
+    * the gazetteer is small, so exhaustive scoring is viable and serves
+    * as the exact recall denominator (`kg_link_ann_recall`).
+    */
+  def annLinkBrute(contexts: DataFrame, entities: DataFrame, k: Int,
+      dim: Int = 64, minSim: Double = 0.0): DataFrame =
+    annLink(contexts, entities, k, tables = 1, bits = 1, dim, minSim, bucketed = false)
+
+  private def annLink(contexts: DataFrame, entities: DataFrame, k: Int,
+      tables: Int, bits: Int, dim: Int, minSim: Double,
+      bucketed: Boolean): DataFrame = {
+    import graft.ops.{Dedup, Similarity}
+    val spark = contexts.sparkSession
+    import spark.implicits._
+    val planes = Similarity.hyperplanes(tables, bits, dim)
+    // gazetteer → driver. Bounded by contract (entity tables are the
+    // small side); the same contract as bruteForceTopK's query side.
+    val ents: Array[(Long, Array[Float])] = entities
+      .select(col("entity_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val index: Map[(Int, Long), Array[Int]] =
+      if (!bucketed) Map.empty
+      else ents.indices.flatMap { i =>
+        (0 until tables).map(t => (t, Similarity.bucketOf(ents(i)._2, planes(t))) -> i)
+      }.groupBy(_._1).map { case (key, xs) => key -> xs.map(_._2).toArray }
+    val bc = spark.sparkContext.broadcast((ents, index))
+    val nt = tables
+    contexts.select(col("ctx_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (es, idx) = bc.value
+        it.flatMap { case (cid, emb) =>
+          val cand: Array[Int] =
+            if (!bucketed) es.indices.toArray
+            else {
+              val s = scala.collection.mutable.SortedSet.empty[Int]
+              var t = 0
+              while (t < nt) {
+                idx.get((t, Similarity.bucketOf(emb, planes(t))))
+                  .foreach(s ++= _)
+                t += 1
+              }
+              s.toArray
+            }
+          cand.iterator
+            .map(i => (es(i)._1, Dedup.round5(Dedup.cosineOf(emb, es(i)._2))))
+            .filter(_._2 >= minSim)
+            .toArray.sortBy { case (eid, sim) => (-sim, eid) }
+            .take(k).iterator.zipWithIndex
+            .map { case ((eid, sim), r) => (cid, (r + 1).toLong, eid, sim) }
+        }
+      }
+      .toDF("ctx_id", "rk", "entity_id", "sim")
+  }
+
   /** Same-as candidate edges between the MINTED subject URI and the KB
     * entity URI — the input to canonicalization. `threshold` is the
     * fractional score (0.9 ⇒ 9000 bp ⇒ corroborated-only).

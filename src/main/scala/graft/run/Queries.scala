@@ -584,6 +584,38 @@ object Queries {
         col("first_begin"), col("corroborated"), col("score_bp"))
   }
 
+  /** Embedding-based entity-link candidates (VERDICT round 4, item 4):
+    * the gazetteer side is every 16th embedding vector (a deterministic
+    * small "entity table"), the rest are mention contexts; candidates
+    * come from broadcast sign-LSH bucket probing + exact cosine re-rank
+    * (Linker.annLinkCandidates — one narrow stage, zero shuffles). LSH
+    * geometry matches the corpus like the other sign-hash queries:
+    * 8 tables × 3 bits for targets at sim ≈ 0.35+.
+    */
+  def kgLinkAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    graft.link.Linker.annLinkCandidates(
+      emb.filter(col("vec_id") % 16 =!= 0)
+        .select(col("vec_id").as("ctx_id"), col("embedding")),
+      emb.filter(col("vec_id") % 16 === 0)
+        .select(col("vec_id").as("entity_id"), col("embedding")),
+      k = 3, tables = 8, bits = 3, dim = 64, minSim = 0.2)
+  }
+
+  /** One-row recall report for the ANN linker vs its brute-force twin
+    * (same gazetteer, every entity scored — the exact denominator).
+    */
+  def kgLinkAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val brute = graft.link.Linker.annLinkBrute(
+      emb.filter(col("vec_id") % 16 =!= 0)
+        .select(col("vec_id").as("ctx_id"), col("embedding")),
+      emb.filter(col("vec_id") % 16 === 0)
+        .select(col("vec_id").as("entity_id"), col("embedding")),
+      k = 3, dim = 64, minSim = 0.2)
+    recallRow(brute, kgLinkAnn(spark, dir), Seq("ctx_id", "entity_id"))
+  }
+
   /** The flagship end-to-end pipeline (extract → map → mentions → link
     * → CC canonicalize → dedup) over the documents corpus, fully
     * cross-checked by an independent SQL oracle.

@@ -84,4 +84,60 @@ class LinkerSpec extends AnyFunSuite {
       Seq(("u4", "http://s/u4", null)))
     assert(f(("u4", "ent:argentina"))._3 === 0L)
   }
+
+  test("ANN link candidates: subset of brute twin, finds the planted entity, scan-local") {
+    import spark.implicits._
+    // 12 entities at distinct directions; contexts = noisy copies of
+    // entity directions (planted nearest) + junk
+    val dim = 64
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextFloat() - 0.5f)
+    }
+    def noisy(v: Array[Float], seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      v.map(x => x + (r.nextFloat() - 0.5f) * 0.05f)
+    }
+    val entRows = (0 until 12).map(i => (100L + i, vec(i)))
+    val ctxRows = (0 until 40).map { j =>
+      val e = j % 12
+      (j.toLong, noisy(entRows(e)._2, 1000 + j))
+    }
+    val ents = entRows.toDF("entity_id", "embedding")
+    val ctxs = ctxRows.toDF("ctx_id", "embedding")
+
+    val ann = Linker.annLinkCandidates(ctxs, ents, k = 3, tables = 8, bits = 3,
+      dim = dim, minSim = 0.2)
+      .as[(Long, Long, Long, Double)].collect()
+    val brute = Linker.annLinkBrute(ctxs, ents, k = 3, dim = dim, minSim = 0.2)
+      .as[(Long, Long, Long, Double)].collect()
+
+    // every ANN candidate appears in the brute twin with the same sim
+    // (LSH can only MISS, never invent or mis-score)
+    val bruteSet = brute.map(r => (r._1, r._3, r._4)).toSet
+    assert(ann.forall(r => bruteSet.contains((r._1, r._3, r._4))),
+      "ANN emitted a (ctx, entity, sim) absent from the brute twin")
+    // the planted nearest entity (sim ≈ 1) survives bucketing for every
+    // context: near-identical vectors collide in every table
+    val top = ann.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
+    (0 until 40).foreach { j =>
+      assert(top.get(j.toLong).contains(100L + j % 12),
+        s"ctx $j lost its planted entity (got ${top.get(j.toLong)})")
+    }
+    // partition invariance: same rows at a different parallelism
+    val ann2 = Linker.annLinkCandidates(ctxs.repartition(7), ents.repartition(3),
+      k = 3, tables = 8, bits = 3, dim = dim, minSim = 0.2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(ann2.toSet == ann.toSet)
+    // the 100 TB claim: ONE narrow stage — no Exchange anywhere in the
+    // context-side plan (the gazetteer is broadcast, not joined)
+    val plan = Linker.annLinkCandidates(ctxs, ents, k = 3, tables = 8, bits = 3,
+      dim = dim, minSim = 0.2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"ANN linking must be scan-local:\n$plan")
+    // rank contract: ≤ k rows per ctx, ranks dense from 1, sims ≥ minSim
+    ann.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 3 && rows.map(_._2).sorted.sameElements(1L to rows.length))
+    }
+    assert(ann.forall(_._4 >= 0.2))
+  }
 }
