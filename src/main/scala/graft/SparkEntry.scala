@@ -36,6 +36,7 @@ object SparkEntry {
     "q_events_sessions" -> (Queries.qEventsSessions _),
     "q_stateful_sessions" -> (Queries.qStatefulSessions _),
     "q_events_dedup" -> (Queries.qEventsDedup _),
+    "q_stream_enrich" -> (Queries.qStreamEnrich _),
     "q_salted_agg" -> (Queries.qSaltedAgg _),
     "q_host_salted_agg" -> (Queries.qHostSaltedAgg _),
     "q5_multi_join" -> (Queries.q5MultiJoin _),
@@ -482,6 +483,21 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type,
         |  CAST(FLOOR(value*100) AS BIGINT) AS value_c
         |FROM events""".stripMargin,
+
+    // the tier dim rows are interpolated from the ONE Scala definition
+    // (EventStream.tierRows), so engine and oracle share it by
+    // construction
+    "q_stream_enrich" -> {
+      val dimValues = graft.streaming.EventStream.tierRows
+        .map { case (id, name, bp) => s"($id, '$name', $bp)" }.mkString(", ")
+      s"""WITH dim(tier_id, tier_name, mult_bp) AS (VALUES $dimValues),
+         |ev AS (SELECT user_id % 3 AS tier_id,
+         |    CAST(FLOOR(value*100) AS BIGINT) AS value_c
+         |  FROM events WHERE event_type IS NOT NULL)
+         |SELECT tier_name, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(value_c * mult_bp) AS BIGINT) AS sum_c
+         |FROM ev JOIN dim USING (tier_id) GROUP BY tier_name""".stripMargin
+    },
 
     "q_salted_agg" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

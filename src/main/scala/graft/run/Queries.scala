@@ -940,6 +940,15 @@ object Queries {
   def qStatefulSessions(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.sessionize(spark, table(spark, dir, "events")).toDF()
 
+  /** Stream-static broadcast dim enrichment, batch face (VERDICT
+    * round 4, item 7): the same EventStream.tierEnriched plan the
+    * MemoryStream replay spec drives incrementally, here over the
+    * events table with the shared tier dimension — oracle-stated.
+    */
+  def qStreamEnrich(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.tierEnriched(
+      table(spark, dir, "events"), graft.streaming.EventStream.tierDim(spark))
+
   /** Watermarked stream dedup run in batch over a simulated
     * at-least-once re-delivery (every 10th event delivered twice): the
     * SAME `dedupedEvents` plan the streaming spec drives incrementally

@@ -125,6 +125,41 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** The tier dimension rows shared by [[tierEnriched]]'s engine
+    * query, the MemoryStream spec, and the SQL oracle (which
+    * interpolates them as a VALUES list — ONE definition, three
+    * consumers): (tier_id, tier_name, mult_bp basis-point multiplier).
+    */
+  val tierRows: Seq[(Long, String, Long)] =
+    Seq((0L, "bronze", 10000L), (1L, "silver", 10500L), (2L, "gold", 11000L))
+
+  def tierDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    tierRows.toDF("tier_id", "tier_name", "mult_bp")
+  }
+
+  /** Stream-static dimension enrichment — the classic streaming shape:
+    * a fact stream joined to a small static dimension (broadcast — the
+    * stream side never shuffles for the join) then aggregated per
+    * dimension attribute. The SAME plan runs in batch (the harness
+    * oracle `q_stream_enrich` checks the arithmetic) and behind a
+    * MemoryStream in complete mode (the replay spec checks the
+    * incremental plumbing converges to the batch rows). The stream-
+    * static join is stateless: no watermark on the dim side, dim rows
+    * re-broadcast per micro-batch at current values.
+    *
+    * All measures are exact integers (cents × basis points), so the
+    * oracle reproduces them bit-for-bit.
+    */
+  def tierEnriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isNotNull)
+      .withColumn("tier_id", pmod(col("user_id").cast("long"), lit(3L)))
+      .join(broadcast(dim), "tier_id")
+      .groupBy(col("tier_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long") * col("mult_bp")).as("sum_c"))
+
   /** Stateless per-event enrichment (shared by the batch oracle and the
     * file pipe): exact integer cents + a null-type guard. Narrow, so
     * the streaming plan is pure pipelined codegen per micro-batch.
