@@ -37,6 +37,7 @@ object SparkEntry {
     "q_stateful_sessions" -> (Queries.qStatefulSessions _),
     "q_events_dedup" -> (Queries.qEventsDedup _),
     "q_stream_enrich" -> (Queries.qStreamEnrich _),
+    "text_shards_manifest" -> (Queries.textShardsManifest _),
     "q_salted_agg" -> (Queries.qSaltedAgg _),
     "q_host_salted_agg" -> (Queries.qHostSaltedAgg _),
     "q5_multi_join" -> (Queries.q5MultiJoin _),
@@ -827,6 +828,25 @@ object SparkEntry {
          |SELECT doc_id, n_tokens,
          |  CAST((cum - n_tokens) // 5000 AS BIGINT) AS shard
          |FROM c""".stripMargin,
+
+    // per-shard manifest bookkeeping re-derived from the same naive
+    // global-window cumsum the pack oracle uses
+    "text_shards_manifest" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         |    ${P.mix31Sql("doc_id")} AS ord
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY ord, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t),
+         |s AS (SELECT doc_id, n_tokens,
+         |    CAST((cum - n_tokens) // 5000 AS BIGINT) AS shard FROM c)
+         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+         |  CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+         |FROM s GROUP BY shard""".stripMargin,
 
     // content-keyed stratified sample: the oracle recomputes the SAME
     // mix31(doc_id) < floor(fraction·2^31) membership test, so the

@@ -35,6 +35,73 @@ import org.apache.spark.sql.functions._
   */
 object Shards {
 
+  /** End-to-end shard STORE (VERDICT round 4, item 5): the pipeline
+    * terminates in artifacts, not a DataFrame —
+    *
+    *   `outDir/shards/`   full document rows, parquet partitioned by
+    *                      shard (one directory per training shard)
+    *   `outDir/manifest/` one row per shard: (shard, n_docs, n_tokens,
+    *                      min_doc_id, max_doc_id, budget, run_id)
+    *
+    * Crash-safety follows the SAME commit contract as the triple
+    * store's lineage (TripleEmitter.writeStage): the manifest commits
+    * strictly AFTER the shard data lands, so the manifest's existence
+    * IS the completion signal. A run killed between the data write and
+    * the manifest commit leaves shard files with no manifest; the next
+    * call sees no manifest, REWRITES the store (mode Overwrite — the
+    * pack is content-keyed and deterministic, so the rewrite produces
+    * the identical artifacts) and then commits. A call that finds a
+    * committed manifest skips all work and returns it (resume no-op).
+    * The inverse order would be the unsafe one: a manifest without its
+    * shard files silently serves a phantom store.
+    *
+    * @return the manifest rows (shard, n_docs, n_tokens, min_doc_id,
+    *         max_doc_id), read back from the committed store
+    */
+  def packAndWrite(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budget: Long,
+      outDir: String,
+      numParts: Int = 0,
+      runId: String = "run-0"): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.hadoop.fs.Path
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifestPath = new Path(root, "manifest")
+    def readManifest(): DataFrame =
+      spark.read.parquet(manifestPath.toString)
+        .select("shard", "n_docs", "n_tokens", "min_doc_id", "max_doc_id")
+    if (fs.exists(new Path(manifestPath, "_SUCCESS"))) return readManifest()
+
+    val packed = packByBudget(df, idCol, tokensCol, budget, numParts)
+    // bring the shard id onto the FULL document rows (packByBudget
+    // carries only id/tokens); equi join on the id — AQE-planned, and
+    // the packed side is narrow
+    val data = df.withColumn("__graft_pid", col(idCol).cast("long"))
+      .drop(idCol)
+      .join(packed.select(col(idCol).cast("long").as("__graft_pid"), col("shard")),
+        "__graft_pid")
+      .withColumnRenamed("__graft_pid", idCol)
+    data.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard").parquet(new Path(root, "shards").toString)
+
+    val manifest = packed
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("n_tokens"),
+        min(col(idCol).cast("long")).as("min_doc_id"),
+        max(col(idCol).cast("long")).as("max_doc_id"))
+      .withColumn("budget", lit(budget))
+      .withColumn("run_id", lit(runId))
+    // ≤ totalTokens/budget + P rows — driver-small by construction
+    manifest.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(manifestPath.toString)
+    readManifest()
+  }
+
   def packByBudget(
       df: DataFrame,
       idCol: String,

@@ -933,6 +933,23 @@ object Queries {
     graft.ops.Shards.packByBudget(toks, "doc_id", "n_tokens", budget = 5000L)
   }
 
+  /** Shard store END-TO-END (VERDICT round 4, item 5): pack the
+    * documents by token budget, land full rows as parquet shard
+    * partitions plus a per-shard manifest (committed after the data),
+    * and return the manifest — the oracle re-derives every manifest
+    * row from the naive global-window cumsum. A fresh temp store per
+    * call: the RESUME path (manifest-committed skip, crash rewrite) is
+    * pinned by its own spec; the harness row checks the artifacts'
+    * bookkeeping against independent SQL.
+    */
+  def textShardsManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"), col("text"),
+      size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val store = java.nio.file.Files.createTempDirectory("graft-shard-store").toString
+    graft.ops.Shards.packAndWrite(docs, "doc_id", "n_tokens", budget = 5000L, store)
+  }
+
   /** Stateful sessionization via the streaming state machine
     * (mapGroupsWithState) run in batch mode — same oracle as the
     * lag-window formulation.

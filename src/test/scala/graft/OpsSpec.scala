@@ -428,6 +428,50 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"two-phase scan must not plan a window:\n$plan")
   }
 
+  test("shard store: artifacts + manifest-after-data commit; crash rewrite; committed no-op") {
+    import graft.ops.Shards
+    import java.nio.file.{Files, Paths}
+    val docs = (0L until 400L).map(i => (i, s"text of doc $i", 1L + (i * 13) % 80))
+      .toDF("doc_id", "text", "n_tokens")
+
+    // one-shot: manifest == independent aggregation of the pack
+    val dir1 = Files.createTempDirectory("graft-shards-1").toString
+    val m1 = Shards.packAndWrite(docs, "doc_id", "n_tokens", budget = 600L, dir1)
+      .orderBy("shard").collect().map(_.toSeq).toList
+    val expected = Shards.packByBudget(docs, "doc_id", "n_tokens", budget = 600L)
+      .groupBy("shard").agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+      .orderBy("shard").collect().map(_.toSeq).toList
+    assert(m1 == expected && m1.nonEmpty)
+    // the shard partitions hold every document exactly once, with full rows
+    val stored = spark.read.parquet(s"$dir1/shards")
+    assert(stored.count() == 400L && stored.select("doc_id").distinct().count() == 400L)
+    assert(stored.columns.toSet == Set("doc_id", "text", "n_tokens", "shard"))
+
+    // crash between data write and manifest commit: shard files exist,
+    // no manifest -> the next call must REWRITE and then commit,
+    // converging to the one-shot manifest (not trust the partial store)
+    val dir2 = Files.createTempDirectory("graft-shards-2").toString
+    val half = docs.filter($"doc_id" < 200L)
+    half.withColumn("shard", lit(0L)).write.partitionBy("shard")
+      .parquet(s"$dir2/shards") // partial, even wrongly-packed, data
+    assert(!Files.exists(Paths.get(s"$dir2/manifest/_SUCCESS")))
+    val m2 = Shards.packAndWrite(docs, "doc_id", "n_tokens", budget = 600L, dir2)
+      .orderBy("shard").collect().map(_.toSeq).toList
+    assert(m2 == m1, "post-crash rewrite must converge to the one-shot manifest")
+    assert(spark.read.parquet(s"$dir2/shards").count() == 400L)
+
+    // committed store: the next call is a RESUME NO-OP — it must not
+    // rewrite the shard files (sentinel survives; Overwrite would
+    // delete it)
+    val sentinel = Paths.get(s"$dir1/shards/.graft-sentinel")
+    Files.writeString(sentinel, "untouched")
+    val m3 = Shards.packAndWrite(docs, "doc_id", "n_tokens", budget = 600L, dir1)
+      .orderBy("shard").collect().map(_.toSeq).toList
+    assert(m3 == m1 && Files.exists(sentinel),
+      "a committed manifest must skip the data rewrite entirely")
+  }
+
   test("simhash maxBucket cap prunes the hot boilerplate bucket, keeps the cold genuine pair") {
     // two 15-doc groups of IDENTICAL boilerplate (every chunk bucket
     // size 15 — hot) + one genuine identical pair with unrelated
