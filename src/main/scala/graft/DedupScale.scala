@@ -59,6 +59,15 @@ object DedupScale {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_DEDUP_COPIES", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    // SimHash hot-bucket cap (VERDICT round 4, item 6): 0 = uncapped
+    // (the 10x legacy mode). When set, the simhash run uses the cap;
+    // SPARK_GRAFT_SIMHASH_CAP_RECALL=1 additionally runs the UNCAPPED
+    // twin and reports what fraction of its pairs the cap keeps
+    // (capped pairs are a strict subset, so recall = capped/uncapped)
+    // - only feasible at scales where the uncapped quadratic hot
+    // bucket is still computable, which is the point of the cap.
+    val simhashCap = sys.env.getOrElse("SPARK_GRAFT_SIMHASH_MAXBUCKET", "0").toLong
+    val capRecall = sys.env.getOrElse("SPARK_GRAFT_SIMHASH_CAP_RECALL", "0") == "1"
     val maxDf = Dedup.defaultMaxDf
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -74,7 +83,13 @@ object DedupScale {
 
     val (nNgram, tNgram) = time(Dedup.ngramJaccardPairs(docs, tau = 0.5, maxDf = maxDf).count())
     val (nMinhash, tMinhash) = time(Dedup.minhashLshPairs(docs, tau = 0.5).count())
-    val (nSimhash, tSimhash) = time(Dedup.simhashPairs(docs).count())
+    val (nSimhash, tSimhash) = time(Dedup.simhashPairs(docs,
+      maxBucket = if (simhashCap > 0) simhashCap else Long.MaxValue).count())
+    val (nSimhashUncapped, capRecallPct) =
+      if (simhashCap > 0 && capRecall) {
+        val u = Dedup.simhashPairs(docs).count()
+        (u, if (u == 0) 100L else 100L * nSimhash / u)
+      } else (-1L, -1L)
 
     val dfHist = Dedup.ngramDfHistogram(docs, maxDf = maxDf)
     val dfRows = dfHist.collect()
@@ -96,6 +111,8 @@ object DedupScale {
       s""""ngram_pairs":$nNgram,"ngram_sec":${f"$tNgram%.1f"},""" +
       s""""minhash_pairs":$nMinhash,"minhash_sec":${f"$tMinhash%.1f"},""" +
       s""""simhash_pairs":$nSimhash,"simhash_sec":${f"$tSimhash%.1f"},""" +
+      s""""simhash_max_bucket_cap":$simhashCap,""" +
+      s""""simhash_uncapped_pairs":$nSimhashUncapped,"simhash_cap_recall_pct":$capRecallPct,""" +
       s""""minhash_max_bucket":$mhMax,"simhash_max_bucket":$shMax,""" +
       s""""df_hist":${histJson(dfHist)},""" +
       s""""minhash_bucket_hist":${histJson(mhHist)},""" +
