@@ -96,11 +96,19 @@ object Dedup {
       }
       .toDF("doc_id", "sh", "sz"))
     val posting = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
-    val keep = posting.groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select("shingle")
-    val p = posting.join(keep, "shingle")
+    // df guard as a WINDOW COUNT over the same hashpartitioning(shingle)
+    // the pair self-join requires — NOT a join against a distinct
+    // kept-shingle table: that table grows with the corpus, and at 100×
+    // (500k docs, ~10M kept shingles) AQE's runtime size estimate let
+    // it through as a broadcast whose in-memory HashedRelation OOMed
+    // the driver (found by graft.DedupScale; VERDICT r4 item 6). The
+    // window adds no broadcast candidate, and its exchange is the one
+    // the self-join reuses.
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val p = posting
+      .withColumn("__df", count(lit(1)).over(wSh))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .drop("__df")
     p.as("a").join(p.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -327,12 +335,17 @@ object Dedup {
     val sigs = graft.util.Cut.cut(simhashSigTable(docs))
     val chunked0 = sigs.select(col("doc_id"), col("sig"),
       posexplode(col("chunks")).as(Seq("chunk", "key")))
+    // same window-count shape as the n-gram df guard (and for the same
+    // reason): a count-table join is a corpus-sized broadcast candidate;
+    // the window rides the (chunk, key) partitioning the self-join
+    // needs anyway
     val chunked =
       if (maxBucket == Long.MaxValue) chunked0
-      else chunked0.join(
-        chunked0.groupBy("chunk", "key").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= maxBucket).drop("__n"),
-        Seq("chunk", "key"))
+      else chunked0
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("chunk", "key")))
+        .filter(col("__n") <= maxBucket)
+        .drop("__n")
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
