@@ -24,6 +24,14 @@ import graft.run.Pipeline
   * # lifecycle delete (M3): remove the store this descriptor built
   * spark-submit --class graft.Submit cattlespark_2.13-0.1.0.jar \
   *   --delete --out <dir> --descriptor <json> [--force]
+  *
+  * # training-data shard store: pack documents by token budget and
+  * # land parquet shards + a per-shard manifest (Shards.packAndWrite —
+  * # manifest commits after data; resubmitting a committed store is a
+  * # no-op, a crashed one rewrites deterministically)
+  * spark-submit --class graft.Submit cattlespark_2.13-0.1.0.jar \
+  *   --pack-shards --docs <parquet with (doc_id, text[, n_tokens])> \
+  *   --out <dir> [--budget 5000] [--id-col doc_id] [--run-id run-0]
   * }}}
   *
   * Master/executor topology comes from spark-submit itself (the
@@ -39,7 +47,7 @@ object Submit {
 
   private def parseArgs(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
-    val flags = Set("--gzip", "--delete", "--force")
+    val flags = Set("--gzip", "--delete", "--force", "--pack-shards")
     var i = 0
     while (i < args.length) {
       val a = args(i)
@@ -104,6 +112,27 @@ object Submit {
       val removed = Pipeline.delete(spark, req("out"), hash,
         force = o.contains("force"))
       println(s"""{"deleted":"${req("out")}","rule_set_hash":"$hash","lineage_rows":$removed}""")
+      if (existing.isEmpty) spark.stop()
+      return
+    }
+
+    // shard store: --pack-shards --docs <parquet> --out <dir>
+    // (token counts derived from `text` when the input has no
+    // n_tokens column — same tokenizer as the harness queries)
+    if (o.contains("pack-shards")) {
+      val docs0 = spark.read.parquet(req("docs"))
+      val docs =
+        if (docs0.columns.contains("n_tokens")) docs0
+        else docs0.withColumn("n_tokens",
+          F.size(graft.ops.TextOps.tokens(F.col("text"))).cast("long"))
+      val budget = o.getOrElse("budget", "5000").toLong
+      val manifest = graft.ops.Shards.packAndWrite(
+        docs, o.getOrElse("id-col", "doc_id"), "n_tokens", budget,
+        req("out"), runId = o.getOrElse("run-id", "run-0"))
+      val agg = manifest.agg(F.count(F.lit(1)).as("shards"),
+        F.sum("n_docs").as("docs"), F.sum("n_tokens").as("tokens")).first()
+      println(s"""{"shards":${agg.getLong(0)},"docs":${agg.getLong(1)},""" +
+        s""""tokens":${agg.getLong(2)},"budget":$budget,"out":"${req("out")}"}""")
       if (existing.isEmpty) spark.stop()
       return
     }

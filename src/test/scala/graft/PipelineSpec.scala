@@ -153,6 +153,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.text(s"$base/out/serialized").count() == want)
   }
 
+  test("spark-submit surface: --pack-shards lands the shard store; resubmit is a no-op") {
+    val base = Files.createTempDirectory("graft-packcli").toString
+    (0L until 300L).map(i => (i, ("tok " * (1 + (i % 40).toInt)).trim))
+      .toDF("doc_id", "text") // no n_tokens column -> Submit derives it
+      .write.parquet(s"$base/docs")
+    val args = Array("--pack-shards", "--docs", s"$base/docs",
+      "--out", s"$base/store", "--budget", "700")
+    Submit.main(args)
+    val manifest = spark.read.parquet(s"$base/store/manifest")
+    val stored = spark.read.parquet(s"$base/store/shards")
+    assert(stored.count() == 300L)
+    assert(manifest.agg(sum($"n_docs")).first().getLong(0) == 300L)
+    // token bookkeeping equals the derived counts
+    val totalToks = (0L until 300L).map(i => 1 + (i % 40)).sum
+    assert(manifest.agg(sum($"n_tokens")).first().getLong(0) == totalToks)
+    // resubmit: committed manifest -> no rewrite (sentinel survives)
+    val sentinel = java.nio.file.Paths.get(s"$base/store/shards/.graft-sentinel")
+    Files.writeString(sentinel, "untouched")
+    Submit.main(args)
+    assert(Files.exists(sentinel))
+  }
+
   test("gazetteer-less resumable run: empty edge store reads back (schema inference regression)") {
     val dir = Files.createTempDirectory("graft-noedges").toString
     val c = cfg(Some(dir)).copy(gazetteer = Nil)
