@@ -37,7 +37,9 @@ object SparkEntry {
     "q_stateful_sessions" -> (Queries.qStatefulSessions _),
     "q_events_dedup" -> (Queries.qEventsDedup _),
     "q_stream_enrich" -> (Queries.qStreamEnrich _),
+    "q_stream_join" -> (Queries.qStreamJoin _),
     "text_shards_manifest" -> (Queries.textShardsManifest _),
+    "text_decontaminate" -> (Queries.textDecontaminate _),
     "q_salted_agg" -> (Queries.qSaltedAgg _),
     "q_host_salted_agg" -> (Queries.qHostSaltedAgg _),
     "q5_multi_join" -> (Queries.q5MultiJoin _),
@@ -485,6 +487,17 @@ object SparkEntry {
         |  CAST(FLOOR(value*100) AS BIGINT) AS value_c
         |FROM events""".stripMargin,
 
+    // the stream-stream attribution join's batch twin: a plain
+    // inequality join over the raw event columns
+    "q_stream_join" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS v_ts
+        |    FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |    FROM events WHERE event_type = 'purchase')
+        |SELECT purchase_id, view_id, user_id
+        |FROM v JOIN p USING (user_id)
+        |WHERE v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts""".stripMargin,
+
     // the tier dim rows are interpolated from the ONE Scala definition
     // (EventStream.tierRows), so engine and oracle share it by
     // construction
@@ -828,6 +841,23 @@ object SparkEntry {
          |SELECT doc_id, n_tokens,
          |  CAST((cum - n_tokens) // 5000 AS BIGINT) AS shard
          |FROM c""".stripMargin,
+
+    // decontamination re-derived in SQL: benchmark shingle hashes
+    // (distinct), corpus shingle hashes per doc (distinct STRINGS then
+    // hashed — a collision legitimately counts once per string, same
+    // as the engine), LEFT JOIN keeps shingle-less docs as clean rows
+    "text_decontaminate" ->
+      s"""WITH $shingleCtes,
+         |bench AS (SELECT DISTINCT ${P.polyhash31Sql("sg")} AS h
+         |  FROM (SELECT unnest(s) AS sg FROM sh WHERE doc_id % 50 = 0)),
+         |post AS (SELECT doc_id, ${P.polyhash31Sql("sg")} AS h
+         |  FROM (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 50 <> 0)),
+         |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc
+         |  FROM post JOIN bench USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(nc, 0) AS BIGINT) AS n_contaminated,
+         |  coalesce(nc, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+         |LEFT JOIN hits USING (doc_id)""".stripMargin,
 
     // per-shard manifest bookkeeping re-derived from the same naive
     // global-window cumsum the pack oracle uses

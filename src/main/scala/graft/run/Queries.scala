@@ -727,6 +727,17 @@ object Queries {
     Dedup.clusterAndElect(docs, Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.12))
   }
 
+  /** Benchmark decontamination: every 50th document plays the eval
+    * set; the rest of the corpus is scanned for shared 3-gram shingles
+    * via the broadcast hash-set membership pass (zero shuffles).
+    */
+  def textDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    Dedup.decontaminate(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0))
+  }
+
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(table(spark, dir, "embeddings"), tau = 0.35)
 
@@ -965,6 +976,19 @@ object Queries {
   def qStreamEnrich(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.tierEnriched(
       table(spark, dir, "events"), graft.streaming.EventStream.tierDim(spark))
+
+  /** Stream-stream interval (attribution) join, batch face: purchases
+    * joined to the same user's views within the preceding hour — the
+    * EventStream.attributionJoin plan whose streaming face the
+    * MemoryStream spec drives with out-of-order arrivals. The oracle
+    * is DuckDB's plain inequality join.
+    */
+  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    graft.streaming.EventStream.attributionJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"))
+  }
 
   /** Watermarked stream dedup run in batch over a simulated
     * at-least-once re-delivery (every 10th event delivered twice): the

@@ -160,6 +160,43 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"),
         sum(floor(col("value") * 100).cast("long") * col("mult_bp")).as("sum_c"))
 
+  /** Stream-STREAM interval join — the attribution shape: every
+    * purchase joined to the same user's views in the hour before it.
+    * The last classic Structured Streaming operator class the surface
+    * lacked: both sides are unbounded, so Spark buffers each side in
+    * state and the WATERMARKS + the time-range condition are what let
+    * it evict — a view older than (purchase watermark − window) can
+    * never match again and is dropped; without the range bound the
+    * state grows forever and Spark rejects append mode.
+    *
+    * The SAME plan runs in batch (withWatermark is a no-op there),
+    * which is what the harness oracle `q_stream_join` checks as a
+    * plain inequality join; the MemoryStream spec feeds both sides
+    * out of order and asserts the appended matches converge to the
+    * batch twin's rows.
+    *
+    * At scale this is a (user_id)-keyed stateful join: state per key
+    * is bounded by window × event rate, skewed users split via AQE on
+    * the batch face and by state-store partitioning on the stream
+    * face.
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      window: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val v = views.select(col("event_id").cast("long").as("view_id"),
+        col("user_id").cast("long").as("v_user"),
+        col("ts").cast("timestamp").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val p = purchases.select(col("event_id").cast("long").as("purchase_id"),
+        col("user_id").cast("long").as("p_user"),
+        col("ts").cast("timestamp").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    v.join(p, col("v_user") === col("p_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("view_id"),
+        col("p_user").as("user_id"))
+  }
+
   /** Stateless per-event enrichment (shared by the batch oracle and the
     * file pipe): exact integer cents + a null-type guard. Narrow, so
     * the streaming plan is pure pipelined codegen per micro-batch.

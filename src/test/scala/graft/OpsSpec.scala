@@ -475,6 +475,33 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"two-phase scan must not plan a window:\n$plan")
   }
 
+  test("decontamination: planted benchmark leakage flagged, clean/short docs clean, scan-local") {
+    val bench = docs(
+      (900L, "the quick brown fox jumps over the lazy dog"),
+      (901L, "four score and seven years ago our fathers brought forth"))
+    val corpus = docs(
+      (1L, "he said the quick brown fox jumps over everything else entirely"), // 3 shared shingles
+      (2L, "completely unrelated text about training data pipelines here"),
+      (3L, "tiny doc"),       // < n tokens: no shingles -> clean
+      (4L, "four score and seven years ago our fathers brought forth a new nation"))
+    val out = Dedup.decontaminate(corpus, bench)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1 shares exactly the shingles of "the quick brown fox jumps
+    // over": 4 trigrams of the shared 6-token run
+    assert(out(1L)._2 && out(1L)._1 == 4L, out(1L).toString)
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((0L, false)))
+    // doc 4 contains the whole benchmark sentence: all 8 of its
+    // trigrams hit
+    assert(out(4L)._2 && out(4L)._1 == 8L, out(4L).toString)
+    // one row per corpus doc, always
+    assert(out.size == 4)
+    // 100 TB plan: broadcast membership scan — no Exchange anywhere
+    val plan = Dedup.decontaminate(corpus, bench)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decontamination must be scan-local:\n$plan")
+  }
+
   test("shard store: artifacts + manifest-after-data commit; crash rewrite; committed no-op") {
     import graft.ops.Shards
     import java.nio.file.{Files, Paths}
