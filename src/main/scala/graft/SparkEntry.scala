@@ -505,7 +505,7 @@ object SparkEntry {
       val dimValues = graft.streaming.EventStream.tierRows
         .map { case (id, name, bp) => s"($id, '$name', $bp)" }.mkString(", ")
       s"""WITH dim(tier_id, tier_name, mult_bp) AS (VALUES $dimValues),
-         |ev AS (SELECT user_id % 3 AS tier_id,
+         |ev AS (SELECT (user_id % 3 + 3) % 3 AS tier_id,
          |    CAST(FLOOR(value*100) AS BIGINT) AS value_c
          |  FROM events WHERE event_type IS NOT NULL)
          |SELECT tier_name, CAST(COUNT(*) AS BIGINT) AS n_events,

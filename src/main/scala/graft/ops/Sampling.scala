@@ -28,10 +28,12 @@ object Sampling {
     * under 2^62, ANSI-safe. The first reduction uses `pmod`, not `%`:
     * Spark's `%` keeps the dividend's sign, so a negative id would
     * carry a negative value through the pipeline and pass EVERY
-    * threshold — even fraction 0.0 (code-review round 4). With pmod
-    * the function is total and lands in [0, 2^31) for any id;
-    * non-negative ids match [[Portable.mix31]] / the SQL oracle
-    * exactly (the `%`-based SQL twin only ever sees non-negative ids).
+    * threshold — even fraction 0.0 (code-review round 4). Since
+    * round 5 all three formulations are TOTAL and agree on any 64-bit
+    * id: [[Portable.mix31]] floor-mods its first reduction and
+    * [[Portable.mix31Sql]] spells pmod as `(x % m + m) % m`
+    * (ADVICE round 4; pinned by the OpsSpec pmod-alignment test over
+    * Long.MinValue..Long.MaxValue).
     */
   def mix31Col(k: Column): Column = {
     def lcg(x: Column) = (lit(1103515245L) * x + lit(12345L)) % lit(Portable.M31)
