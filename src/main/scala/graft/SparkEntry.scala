@@ -67,6 +67,9 @@ object SparkEntry {
     "text_rolling_hash" -> (Queries.textRollingHash _),
     "text_pack_shards" -> (Queries.textPackShards _),
     "text_sample_stratified" -> (Queries.textSampleStratified _),
+    "text_host_cap" -> (Queries.textHostCap _),
+    "text_repetition" -> (Queries.textRepetition _),
+    "text_pii_redact" -> (Queries.textPiiRedact _),
     "text_vocab_topk" -> (Queries.textVocabTopk _),
     "dedup_exact" -> (Queries.dedupExact _),
     "curation_pipeline" -> (Queries.curationPipeline _),
@@ -74,6 +77,7 @@ object SparkEntry {
     "dedup_ngram_containment" -> (Queries.dedupNgramContainment _),
     "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
     "dedup_minhash_recall" -> (Queries.dedupMinhashRecall _),
+    "dedup_incremental" -> (Queries.dedupIncremental _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "dedup_embedding_lsh" -> (Queries.dedupEmbeddingLsh _),
@@ -890,6 +894,67 @@ object SparkEntry {
          |  ELSE ${graft.ops.Sampling.threshold(Queries.sampleDefault)} END""".stripMargin
     },
 
+    // per-host cap: the oracle is the PLAIN one-window spelling of the
+    // same deterministic (mix31(id), id) rank the two-phase engine
+    // path must reproduce exactly
+    "text_host_cap" ->
+      s"""WITH r AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY ${P.mix31Sql("doc_id")}, doc_id) AS BIGINT) AS rk
+         |  FROM documents)
+         |SELECT doc_id, source, rk FROM r WHERE rk <= 5""".stripMargin,
+
+    // intra-document repetition: token / word-2-gram top counts via
+    // unnest + group-by (the engine counts per-doc in a JVM hash map);
+    // the integer-arithmetic gate is re-spelled verbatim
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(t) - len(list_distinct(t)) AS BIGINT) AS dup_token_n,
+        |    CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_2grams
+        |  FROM tok),
+        |tu AS (SELECT doc_id, unnest(t) AS tk FROM tok),
+        |ttop AS (SELECT doc_id, MAX(c) AS top FROM (
+        |    SELECT doc_id, tk, COUNT(*) AS c FROM tu GROUP BY doc_id, tk) GROUP BY doc_id),
+        |gu AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gm
+        |  FROM tok),
+        |gtop AS (SELECT doc_id, MAX(c) AS topg FROM (
+        |    SELECT doc_id, gm, COUNT(*) AS c FROM gu GROUP BY doc_id, gm) GROUP BY doc_id)
+        |SELECT b.doc_id, n_tokens, dup_token_n,
+        |  CAST(coalesce(ttop.top, 0) AS BIGINT) AS top_token_n, n_2grams,
+        |  CAST(coalesce(gtop.topg, 0) AS BIGINT) AS top_2gram_n,
+        |  (n_tokens > 0 AND 10*dup_token_n <= 3*n_tokens
+        |   AND 5*coalesce(gtop.topg, 0) <= n_2grams) AS rep_keep
+        |FROM b LEFT JOIN ttop ON b.doc_id = ttop.doc_id
+        |LEFT JOIN gtop ON b.doc_id = gtop.doc_id""".stripMargin,
+
+    // PII scrub: the same deterministic PII synthesis from doc_id, the
+    // same three regexes applied in the same order ('g' = replace-all,
+    // matching Spark's regexp_replace semantics), counts re-derived on
+    // the raw synth text, and the full redacted string md5-checked
+    "text_pii_redact" ->
+      s"""WITH synth AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |      || repeat(' cc' || CAST(doc_id AS VARCHAR) || '@ex.org',
+         |           CAST(((doc_id % 3) + 3) % 3 AS INT))
+         |      || ' from 10.0.' || CAST(((doc_id % 256) + 256) % 256 AS VARCHAR)
+         |      || '.7 call +1 555-'
+         |      || lpad(CAST(((doc_id % 10000) + 10000) % 10000 AS VARCHAR), 4, '0') AS text
+         |  FROM documents),
+         |red AS (SELECT doc_id, text,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '${graft.ops.TextOps.emailRe}', '<EMAIL>', 'g'),
+         |      '${graft.ops.TextOps.ipv4Re}', '<IP>', 'g'),
+         |      '${graft.ops.TextOps.phoneRe}', '<PHONE>', 'g') AS r
+         |  FROM synth)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${graft.ops.TextOps.emailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${graft.ops.TextOps.ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${graft.ops.TextOps.phoneRe}')) AS BIGINT) AS n_phones,
+         |  md5(r) AS red_fp, CAST(length(r) AS BIGINT) AS red_len
+         |FROM red""".stripMargin,
+
     // (count desc, token) is a total order — the top-20 cut is unique
     "text_vocab_topk" ->
       """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
@@ -956,6 +1021,30 @@ object SparkEntry {
          |erel AS (SELECT DISTINCT id_a, id_b FROM exact_pairs),
          |arel AS (SELECT DISTINCT id_a, id_b FROM mh_pairs WHERE jaccard >= 0.12)
          |${recallSelect("erel", "arel", "id_a", "id_b")}""".stripMargin,
+
+    // incremental snapshot dedup: signatures are row-local, so the
+    // oracle re-derives them over the WHOLE corpus and applies the
+    // store/batch membership split (doc_id pmod 5) purely in SQL —
+    // batch-vs-store candidates from the banded bucket join plus
+    // within-batch pairs owned by the later doc_id, then exact-Jaccard
+    // verified against the same shingle sets
+    "dedup_incremental" ->
+      s"""WITH $shingleCtes,
+         |$minhashFromSh,
+         |stb AS (SELECT * FROM bb WHERE ((doc_id % 5) + 5) % 5 < 4),
+         |inb AS (SELECT * FROM bb WHERE ((doc_id % 5) + 5) % 5 = 4),
+         |icand AS (
+         |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_match
+         |  FROM inb a JOIN stb b ON a.band = b.band AND a.bucket = b.bucket
+         |  UNION
+         |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_match
+         |  FROM inb a JOIN inb b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id > b.doc_id),
+         |iv AS (SELECT id_new, id_match,
+         |    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+         |      (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 5) AS jaccard
+         |  FROM icand JOIN sh x ON x.doc_id = id_new JOIN sh y ON y.doc_id = id_match)
+         |SELECT id_new, id_match, jaccard FROM iv WHERE jaccard >= 0.12""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $simhashCtes

@@ -248,6 +248,60 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** The MinHash signature table as a MATERIALIZABLE store:
+    * (doc_id, sh, buckets) — shingle sets for exact verification,
+    * banded bucket ids for blocking. Write it as parquet once and
+    * incremental snapshots probe it via [[incrementalMinhashPairs]];
+    * at 100 TB this is THE dedup mode that matters — a new crawl
+    * snapshot must not re-shingle the whole corpus, only its own
+    * documents.
+    */
+  def minhashStore(docs: DataFrame, n: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame =
+    minhashSigTable(docs, n, bands, rowsPerBand)
+
+  /** Incremental MinHash dedup: near-dup pairs of an INCOMING batch
+    * against a persisted signature `store` ([[minhashStore]] — read
+    * back from parquet in production) plus within the batch itself.
+    * Only the incoming documents are shingled/signed; the store is
+    * joined as-is. Pairs are (id_new, id_match): id_new from the
+    * batch, id_match from the store (any id) or from the batch
+    * (id_match < id_new, so each within-batch pair is reported once,
+    * owned by the later document). Store and batch doc_ids must be
+    * disjoint. Candidates come from the (band, bucket) equi-join —
+    * a shuffle keyed exactly like the full self-join's, but with the
+    * probe side |batch| instead of |corpus| — and are verified with
+    * exact Jaccard over the shingle sets (LSH prunes, never asserts).
+    */
+  def incrementalMinhashPairs(store: DataFrame, incoming: DataFrame,
+      n: Int = 3, tau: Double = 0.5, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val st = graft.util.Cut.cut(store)
+    val inc = graft.util.Cut.cut(minhashSigTable(incoming, n, bands, rowsPerBand))
+    def banded(sig: DataFrame) = sig.select(col("doc_id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val bs = banded(st)
+    val bi = banded(inc)
+    val candOld = bi.as("a").join(bs.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_new"), col("b.doc_id").as("id_match"))
+    val candNew = bi.as("a").join(bi.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("id_new"), col("b.doc_id").as("id_match"))
+    val cand = candOld.union(candNew).distinct()
+    val sets = st.select("doc_id", "sh").union(inc.select("doc_id", "sh"))
+    cand
+      .join(sets.withColumnRenamed("doc_id", "id_new").withColumnRenamed("sh", "sh_a"), "id_new")
+      .join(sets.withColumnRenamed("doc_id", "id_match").withColumnRenamed("sh", "sh_b"), "id_match")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 5))
+      .filter(col("jaccard") >= tau)
+      .select("id_new", "id_match", "jaccard")
+  }
+
   // ---------- SimHash ----------
 
   /** SimHash chunk-hash parameters: 4 independent universal-family

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling — the downsampling step of a
@@ -69,4 +70,58 @@ object Sampling {
   /** Un-stratified fixed-rate sample. */
   def sample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(mix31Col(col(idCol).cast("long")) < lit(threshold(fraction)))
+
+  /** Per-host (domain) cap — the corpus-rebalancing step that stops a
+    * handful of giant hosts from dominating a web corpus: keep at most
+    * `k` documents per host, chosen DETERMINISTICALLY as the k
+    * smallest by `(mix31(id), id)` — content-keyed like the sampler,
+    * so membership is invariant under partitioning/re-runs, and two
+    * runs with k and k' > k produce NESTED selections (the order is a
+    * fixed total order; a larger cap only extends each host's prefix).
+    *
+    * Two-phase at scale: a partition-local top-k prune (bounded heap
+    * per host inside mapPartitions — tight JVM loop) cuts the shuffle
+    * input to ≤ k rows per (partition, host), THEN the exact global
+    * rank runs as one window over the survivors. Correct because the
+    * global k smallest of a host are contained in the union of its
+    * per-partition k smallest; the window never sees more than k·P
+    * rows per host, so the classic "one giant host = one giant window
+    * task" failure mode is structurally bounded (the plain-window twin
+    * it is spec-checked against funnels the whole host through one
+    * task).
+    *
+    * Returns (idCol, hostCol, rk) with rk ∈ [1, k] the host-local rank.
+    */
+  def capPerHost(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      hostCol: String = "source"): DataFrame = {
+    require(k >= 1, s"cap must be >= 1: $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pruned = docs
+      .select(col(idCol).cast("long"), col(hostCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+        it.foreach { case (id, host) =>
+          val key = (Portable.mix31(id), id)
+          val h = heaps.getOrElseUpdate(host,
+            scala.collection.mutable.PriorityQueue.empty[(Long, Long)])
+          if (h.size < k) h.enqueue(key)
+          else if (Ordering[(Long, Long)].lt(key, h.head)) {
+            h.dequeue(); h.enqueue(key)
+          }
+        }
+        heaps.iterator.flatMap { case (host, h) =>
+          h.iterator.map { case (_, id) => (id, host) }
+        }
+      }
+      .toDF(idCol, hostCol)
+    val w = Window.partitionBy(col(hostCol))
+      .orderBy(mix31Col(col(idCol)), col(idCol))
+    pruned
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col(hostCol), col("rk"))
+  }
 }

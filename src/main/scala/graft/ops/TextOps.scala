@@ -163,4 +163,105 @@ object TextOps {
       h = (h * 1009L + Portable.polyhash31(t) % 1048576L) % Portable.P31
     h
   }
+
+  // ---------- intra-document repetition (Gopher-style) ----------
+
+  /** Executor-side repetition statistics for one document:
+    * (n_tokens, dup_token_n, top_token_n, n_2grams, top_2gram_n).
+    * `dup_token_n` is the duplicate-token mass (n − |distinct|),
+    * `top_token_n` / `top_2gram_n` the count of the most frequent
+    * token / word-2-gram. One pass, two hash maps — O(tokens) per doc.
+    */
+  def repetitionStatsOf(text: String): (Long, Long, Long, Long, Long) = {
+    val toks =
+      if (text == null) Array.empty[String]
+      else text.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length.toLong
+    val tc = scala.collection.mutable.HashMap.empty[String, Long]
+    var topTok = 0L
+    var i = 0
+    while (i < toks.length) {
+      val c = tc.getOrElse(toks(i), 0L) + 1L
+      tc(toks(i)) = c
+      if (c > topTok) topTok = c
+      i += 1
+    }
+    val gc = scala.collection.mutable.HashMap.empty[String, Long]
+    var topG = 0L
+    i = 0
+    while (i + 1 < toks.length) {
+      val g = toks(i) + " " + toks(i + 1)
+      val c = gc.getOrElse(g, 0L) + 1L
+      gc(g) = c
+      if (c > topG) topG = c
+      i += 1
+    }
+    (n, n - tc.size, topTok, math.max(n - 1L, 0L), topG)
+  }
+
+  /** Repetition-filter gate (Gopher-style, token-count variant):
+    * duplicate-token fraction ≤ 0.3 AND top-2-gram fraction ≤ 0.2,
+    * spelled in integers (`10·dup ≤ 3·n`, `5·top2 ≤ n2`) so the gate
+    * is bit-reproducible. Empty documents are dropped.
+    */
+  def repetitionKeep(n: Long, dup: Long, top2: Long, n2: Long): Boolean =
+    n > 0L && 10L * dup <= 3L * n && 5L * top2 <= n2
+
+  /** Per-document repetition statistics + the [[repetitionKeep]] gate.
+    * Production path is a typed mapPartitions (per-doc hash-map
+    * counting in a tight JVM loop — the Column HOF spelling would
+    * evaluate interpreted), so this runs scan-local with ZERO shuffle:
+    * at 100 TB it is a narrow pass over the corpus, embarrassingly
+    * parallel, nothing crosses executors.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val (n, dup, topT, n2, topG) = repetitionStatsOf(t)
+        (id, n, dup, topT, n2, topG, repetitionKeep(n, dup, topG, n2))
+      })
+      .toDF("doc_id", "n_tokens", "dup_token_n", "top_token_n",
+        "n_2grams", "top_2gram_n", "rep_keep")
+  }
+
+  // ---------- PII scrubbing (C4-style web-corpus cleanup) ----------
+
+  /** PII patterns, restricted to syntax java.util.regex and RE2
+    * (DuckDB) evaluate identically on ASCII input — the oracle applies
+    * the same literals.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val phoneRe = "\\+1 \\d{3}-\\d{4}"
+
+  /** Redact emails, IPv4 addresses, then NANP-style phone numbers with
+    * typed placeholders — fixed application ORDER, because redaction
+    * is not commutative (the oracle applies the same sequence).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Per-document PII counts (on the RAW text) + fingerprint/length of
+    * the redacted text. Pure Column trees — codegen'd, scan-local,
+    * zero shuffle; the 100 TB shape is "free with the scan", like the
+    * other text gates.
+    */
+  def piiStats(docs: DataFrame): DataFrame = {
+    val red = redactPii(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+      md5(red).as("red_fp"),
+      length(red).cast("long").as("red_len"))
+  }
 }

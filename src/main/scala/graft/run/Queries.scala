@@ -722,6 +722,22 @@ object Queries {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(table(spark, dir, "documents"), maxHamming = 3)
 
+  /** Incremental snapshot dedup — the mode that matters at 100 TB: the
+    * persisted signature store (built here from the 80% "existing"
+    * corpus split) is probed by the 20% "incoming" batch; only the
+    * batch is shingled/signed. The oracle re-derives the same
+    * signatures over the whole corpus and applies the membership split
+    * in SQL — signatures are row-local, so per-split and whole-corpus
+    * computation agree by construction.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val existing = docs.filter(pmod(col("doc_id"), lit(5L)) < 4L)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5L)) === 4L)
+    Dedup.incrementalMinhashPairs(
+      Dedup.minhashStore(existing), incoming, n = 3, tau = 0.12)
+  }
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     Dedup.clusterAndElect(docs, Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.12))
@@ -928,6 +944,41 @@ object Queries {
     graft.ops.Sampling.sampleStratified(
       table(spark, dir, "documents").select(col("doc_id").cast("long"), col("lang")),
       "doc_id", "lang", sampleFractions, sampleDefault)
+
+  /** Per-host corpus rebalance: keep the 5 deterministically-chosen
+    * documents per source host (two-phase bounded-heap prune + exact
+    * window on survivors — the giant-host window funnel is
+    * structurally capped at k rows per partition per host).
+    */
+  def textHostCap(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.capPerHost(table(spark, dir, "documents"), k = 5)
+
+  /** Intra-document repetition statistics + the Gopher-style gate —
+    * scan-local mapPartitions counting, zero shuffle.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(table(spark, dir, "documents"))
+
+  /** PII scrubbing over a corpus with DETERMINISTICALLY synthesized
+    * PII (the raw corpus is digit-free word salad, so emails / IPv4s /
+    * phone numbers are appended from doc_id by the same formula in
+    * engine and oracle — every count and the full redacted string are
+    * then independently re-derived and hash-checked).
+    */
+  def textPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val synth = table(spark, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        expr("repeat(concat(' cc', CAST(doc_id AS STRING), '@ex.org'), " +
+          "CAST(pmod(doc_id, 3) AS INT))"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+        lit(".7 call +1 555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")
+      ).as("text"))
+    TextOps.piiStats(synth)
+  }
 
   /** Token-budget shard packing via the distributed two-phase prefix
     * sum (graft.ops.Shards): content-keyed global order, local running

@@ -894,4 +894,121 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set(("xx", "p50", 2L), ("xx", "p90", 2L),
       ("yy", "p50", 4L), ("yy", "p90", 4L)))
   }
+
+  // ---------- incremental (snapshot) dedup ----------
+
+  test("incremental minhash == full self-join restricted to batch-touching pairs, re-keyed") {
+    // Planted near-dups across the split: store-store (must NOT appear),
+    // store-batch, and batch-batch (owned by the later doc_id).
+    val base = "the quick brown fox jumps over the lazy dog at dawn today quietly"
+    def v(id: Long, tail: String) = (id, s"$base $tail")
+    val corpus = docs(
+      v(1L, "alpha"), v(2L, "alpha beta"), // store-store near-dup pair
+      v(3L, "gamma"), v(10L, "gamma delta"), // store-batch
+      v(11L, "epsilon"), v(12L, "epsilon zeta"), // batch-batch
+      (4L, "completely unrelated words nothing shared here at all ok"),
+      (13L, "another disjoint document with its own private vocabulary"))
+    val store = corpus.filter(col("doc_id") < 10L)
+    val batch = corpus.filter(col("doc_id") >= 10L)
+    val batchIds = Set(10L, 11L, 12L, 13L)
+    val inc = Dedup.incrementalMinhashPairs(Dedup.minhashStore(store), batch, tau = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minhashLshPairs(corpus, tau = 0.2)
+      .as[(Long, Long, Double)].collect()
+    val expected = full.flatMap { case (a, b, j) =>
+      (batchIds(a), batchIds(b)) match {
+        case (true, true)  => Some((math.max(a, b), math.min(a, b), j))
+        case (true, false) => Some((a, b, j))
+        case (false, true) => Some((b, a, j))
+        case _             => None
+      }
+    }.toSet
+    assert(inc == expected)
+    assert(expected.exists { case (n, m, _) => n == 10L && m == 3L }) // cross split
+    assert(expected.exists { case (n, m, _) => n == 12L && m == 11L }) // within batch
+    assert(!inc.exists { case (n, m, _) => !batchIds(n) }) // store-store never surfaces
+  }
+
+  // ---------- per-host cap ----------
+
+  test("capPerHost: two-phase prune == independent per-host sort oracle; negative ids; nesting") {
+    import graft.ops.{Portable, Sampling}
+    val rows = (1L to 60L).map(i => (i, "big.example")) ++
+      Seq((200L, "small.example"), (-201L, "small.example"), (202L, "small.example"),
+        (-300L, "lone.example"))
+    val df = rows.toDF("doc_id", "source").repartition(7)
+    val got = Sampling.capPerHost(df, k = 5)
+      .as[(Long, String, Long)].collect().toSet
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (host, hs) =>
+      hs.map(_._1).sortBy(id => (Portable.mix31(id), id)).take(5)
+        .zipWithIndex.map { case (id, i) => (id, host, i + 1L) }
+    }.toSet
+    assert(got == expected)
+    assert(got.count(_._2 == "big.example") == 5)
+    assert(got.count(_._2 == "small.example") == 3) // under-full host keeps all
+    // larger cap strictly extends each host's prefix (nested selections)
+    val ids3 = Sampling.capPerHost(df, k = 3).as[(Long, String, Long)]
+      .collect().map(t => (t._1, t._2)).toSet
+    val ids5 = got.map(t => (t._1, t._2))
+    assert(ids3.subsetOf(ids5) && ids3.size == 3 + 3 + 1)
+  }
+
+  // ---------- intra-document repetition ----------
+
+  test("repetitionStatsOf: hand-computed token/2-gram stats and the integer gate") {
+    assert(TextOps.repetitionStatsOf("a a a b") == (4L, 2L, 3L, 3L, 2L))
+    // gate: dup 2/4 > 0.3 -> drop
+    assert(!TextOps.repetitionKeep(4L, 2L, 2L, 3L))
+    assert(TextOps.repetitionStatsOf("the cat sat on the mat") == (6L, 1L, 2L, 5L, 1L))
+    assert(TextOps.repetitionKeep(6L, 1L, 1L, 5L))
+    assert(TextOps.repetitionStatsOf("") == (0L, 0L, 0L, 0L, 0L))
+    assert(TextOps.repetitionStatsOf(null) == (0L, 0L, 0L, 0L, 0L))
+    assert(!TextOps.repetitionKeep(0L, 0L, 0L, 0L)) // empty docs drop
+    // boundary: exactly 30% duplicate mass / exactly 20% top 2-gram pass
+    assert(TextOps.repetitionKeep(10L, 3L, 1L, 9L))
+    assert(TextOps.repetitionKeep(11L, 0L, 2L, 10L))
+    assert(!TextOps.repetitionKeep(11L, 0L, 3L, 10L))
+  }
+
+  test("repetitionStats DataFrame path agrees with the per-doc scalar on a mixed fixture") {
+    val fixture = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "spam spam spam spam ham"),
+      (3L, ""),
+      (4L, "buy now buy now buy now buy now limited offer"))
+    val got = TextOps.repetitionStats(fixture.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().toSet
+    val expected = fixture.map { case (id, t) =>
+      val (n, dup, topT, n2, topG) = TextOps.repetitionStatsOf(t)
+      (id, n, dup, topT, n2, topG, TextOps.repetitionKeep(n, dup, topG, n2))
+    }.toSet
+    assert(got == expected)
+    assert(got.collectFirst { case (2L, _, _, _, _, _, k) => k } == Some(false))
+    assert(got.collectFirst { case (4L, _, _, _, _, _, k) => k } == Some(false))
+    assert(got.collectFirst { case (1L, _, _, _, _, _, k) => k } == Some(true))
+  }
+
+  // ---------- PII scrubbing ----------
+
+  test("redactPii: all occurrences replaced, in the documented email->ip->phone order") {
+    val out = Seq((1L, "mail a@b.com and c.d@e.org ip 10.0.0.7 tel +1 555-1234 end"))
+      .toDF("doc_id", "text")
+      .select(TextOps.redactPii(col("text"))).as[String].head()
+    assert(out == "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE> end")
+    // not an email / ip / phone: survives untouched
+    val keep = Seq((1L, "version 1.2 at example.com cost 555-12"))
+      .toDF("doc_id", "text")
+      .select(TextOps.redactPii(col("text"))).as[String].head()
+    assert(keep == "version 1.2 at example.com cost 555-12")
+  }
+
+  test("piiStats: counts on raw text, fingerprint/length of the redacted text") {
+    val text = "x@y.net then 192.168.0.1 and x@y.net again call +1 555-0000"
+    val red = "<EMAIL> then <IP> and <EMAIL> again call <PHONE>"
+    val got = TextOps.piiStats(Seq((7L, text)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, String, Long)].head()
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(red.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == ((7L, 2L, 1L, 1L, md, red.length.toLong)))
+  }
 }
