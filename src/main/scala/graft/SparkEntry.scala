@@ -59,6 +59,7 @@ object SparkEntry {
     "kg_canonical" -> (Queries.kgCanonical _),
     "kg_link_scores" -> (Queries.kgLinkScores _),
     "kg_pipeline" -> (Queries.kgPipeline _),
+    "kg_pagerank" -> (Queries.kgPagerank _),
     // training-data ops
     "text_tokens" -> (Queries.textTokens _),
     "text_quality" -> (Queries.textQuality _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
     "dedup_minhash_recall" -> (Queries.dedupMinhashRecall _),
     "dedup_incremental" -> (Queries.dedupIncremental _),
+    "dedup_passages" -> (Queries.dedupPassages _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "dedup_embedding_lsh" -> (Queries.dedupEmbeddingLsh _),
@@ -111,6 +113,35 @@ object SparkEntry {
   // COMPUTATION (signatures, joins, verification) is independent SQL.
 
   private val P = graft.ops.Portable
+
+  /** Integer fixed-point PageRank, 5 rounds unrolled (the engine's
+    * exact long arithmetic — scale 10^12, damping 17/20, truncating
+    * division on non-negative values == floor == DuckDB `//`) over the
+    * deterministic customer chain + homepage-hub graph.
+    * Ends in `p5(id, pr)`.
+    */
+  private val kgPagerankCtes: String = {
+    val scaleL = 1000000000000L
+    val base = scaleL * 3L / 20L
+    val iters = (1 to 5).map { i =>
+      s"""c$i AS (SELECT e.dst AS id, SUM(p.pr // e.deg) AS m
+         |  FROM edeg e JOIN p${i - 1} p ON p.id = e.src GROUP BY e.dst),
+         |p$i AS (SELECT n.id, CAST($base + (17 * COALESCE(c.m, 0)) // 20 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN c$i c USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""cust AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_nationkey FROM customer),
+       |chain AS (SELECT k AS src,
+       |    lead(k) OVER (PARTITION BY c_nationkey ORDER BY k) AS dst FROM cust),
+       |hubv AS (SELECT MIN(k) AS hub FROM cust),
+       |edges AS (SELECT src, dst FROM chain WHERE dst IS NOT NULL
+       |  UNION ALL SELECT k, hub FROM cust, hubv WHERE k <> hub),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |edeg AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+       |nodes AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+       |p0 AS (SELECT id, CAST($scaleL AS BIGINT) AS pr FROM nodes),
+       |$iters""".stripMargin
+  }
 
   /** 3-token shingle sets per document (mirrors Dedup.shingleSet). */
   private val shingleCtes: String =
@@ -1045,6 +1076,22 @@ object SparkEntry {
          |      (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 5) AS jaccard
          |  FROM icand JOIN sh x ON x.doc_id = id_new JOIN sh y ON y.doc_id = id_match)
          |SELECT id_new, id_match, jaccard FROM iv WHERE jaccard >= 0.12""".stripMargin,
+
+    // passage dedup: same fixed-width token chunks + md5 fingerprints;
+    // "first global occurrence wins" re-spelled as one window (the
+    // engine uses the skew-safe min-struct aggregate + join)
+    "dedup_passages" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |pz AS (SELECT doc_id, CAST(i.v AS BIGINT) AS p_idx,
+        |    md5(array_to_string(t[i.v*6 + 1 : least((i.v+1)*6, len(t))], ' ')) AS h
+        |  FROM tok, LATERAL (SELECT unnest(range(0, (len(t) + 5) // 6)) AS v) i)
+        |SELECT doc_id, p_idx, h,
+        |  (row_number() OVER (PARTITION BY h ORDER BY doc_id, p_idx) = 1) AS keep
+        |FROM pz""".stripMargin,
+
+    "kg_pagerank" ->
+      s"""WITH $kgPagerankCtes
+         |SELECT id, pr FROM p5""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $simhashCtes

@@ -302,6 +302,65 @@ object Dedup {
       .select("id_new", "id_match", "jaccard")
   }
 
+  // ---------- passage-level exact dedup (CCNet-style) ----------
+
+  /** Fixed-width token passages per document: consecutive
+    * non-overlapping `window`-token chunks (last chunk may be shorter,
+    * kept when non-empty), fingerprinted with md5 of the
+    * space-rejoined chunk. Scan-local typed mapPartitions — one
+    * MessageDigest per partition, tight loop, zero shuffle.
+    * Returns (doc_id, p_idx, h).
+    */
+  def passageTable(docs: DataFrame, window: Int = 16): DataFrame = {
+    require(window >= 1, s"passage window must be >= 1: $window")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, t) =>
+          val toks =
+            if (t == null) Array.empty[String]
+            else t.split("\\s+").filter(_.nonEmpty)
+          toks.grouped(window).zipWithIndex.map { case (g, i) =>
+            md.reset()
+            val d = md.digest(g.mkString(" ").getBytes("UTF-8"))
+            (id, i.toLong, d.map("%02x".format(_)).mkString)
+          }
+        }
+      }
+      .toDF("doc_id", "p_idx", "h")
+  }
+
+  /** Passage-level exact dedup over the corpus (the CCNet move —
+    * boilerplate paragraphs repeat VERBATIM across pages far more
+    * often than whole documents do): every passage keeps only its
+    * FIRST occurrence in the deterministic global order
+    * (doc_id, p_idx); later copies are marked drop.
+    *
+    * Shape at scale: passage extraction is scan-local; the first
+    * occurrence per fingerprint is a groupBy(h).min(struct) —
+    * map-side partial aggregation absorbs hot boilerplate passages
+    * (a passage duplicated 10^9 times combines to one row per map
+    * task, never a single giant reduce group). Ownership is then a
+    * shuffle join back on h — the skew-safe spelling: AQE splits a
+    * hot fingerprint's join partition, which a window over h
+    * (one task per fingerprint, funneling the full 10^9 copies)
+    * structurally cannot.
+    *
+    * Returns (doc_id, p_idx, h, keep).
+    */
+  def passageDedup(docs: DataFrame, window: Int = 16): DataFrame = {
+    val p = graft.util.Cut.cut(passageTable(docs, window))
+    val first = p.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("p_idx"))).as("f"))
+    p.join(first, "h")
+      .withColumn("keep",
+        col("doc_id") === col("f.doc_id") && col("p_idx") === col("f.p_idx"))
+      .select("doc_id", "p_idx", "h", "keep")
+  }
+
   // ---------- SimHash ----------
 
   /** SimHash chunk-hash parameters: 4 independent universal-family

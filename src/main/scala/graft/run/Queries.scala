@@ -738,6 +738,34 @@ object Queries {
       Dedup.minhashStore(existing), incoming, n = 3, tau = 0.12)
   }
 
+  /** Passage-level exact dedup at a 6-token window (small enough that
+    * the word-salad corpus, vocab ~40, actually repeats passages) —
+    * first global occurrence per fingerprint wins.
+    */
+  def dedupPassages(spark: SparkSession, dir: String): DataFrame =
+    Dedup.passageDedup(table(spark, dir, "documents"), window = 6)
+
+  /** Entity/host importance: integer fixed-point PageRank (5 rounds,
+    * damping 17/20) over a web-like deterministic graph derived from
+    * the customer table — the per-nation custkey chain (page → next
+    * page) plus a link from every node to the global-min custkey (the
+    * "homepage" hub every page links to). Exact long arithmetic makes
+    * the ranks bit-identical to the unrolled SQL oracle.
+    */
+  def kgPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+      .select(col("c_custkey").cast("long").as("k"), col("c_nationkey"))
+    val w = Window.partitionBy("c_nationkey").orderBy("k")
+    val chain = cust.withColumn("dst", lead(col("k"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .select(col("k").as("src"), col("dst"))
+    val hub = cust.agg(min(col("k")).as("hub"))
+    val toHub = cust.crossJoin(broadcast(hub))
+      .filter(col("k") =!= col("hub"))
+      .select(col("k").as("src"), col("hub").as("dst"))
+    graft.canon.PageRank.run(chain.union(toHub), iterations = 5)
+  }
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     Dedup.clusterAndElect(docs, Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.12))

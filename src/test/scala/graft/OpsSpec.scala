@@ -929,6 +929,34 @@ class OpsSpec extends AnyFunSuite {
     assert(!inc.exists { case (n, m, _) => !batchIds(n) }) // store-store never surfaces
   }
 
+  // ---------- passage-level exact dedup ----------
+
+  test("passageTable: fixed-width chunks, short tail kept, md5 fingerprints, empty/null docs empty") {
+    val out = Dedup.passageTable(docs((1L, "a b c d e f g"), (2L, ""), (3L, null)), window = 3)
+      .as[(Long, Long, String)].collect().toSet
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out == Set((1L, 0L, h("a b c")), (1L, 1L, h("d e f")), (1L, 2L, h("g"))))
+    intercept[IllegalArgumentException] { Dedup.passageTable(docs(), window = 0) }
+  }
+
+  test("passageDedup: first global (doc_id, p_idx) occurrence wins, within and across docs") {
+    val fixture = docs(
+      (1L, "a b c d e f"),          // passages: "a b c", "d e f"
+      (2L, "a b c x y z a b c"),    // shares "a b c" (idx 0), repeats it at idx 2
+      (3L, "x y z"))                // "x y z" first seen at (2, 1)
+    val out = Dedup.passageDedup(fixture, window = 3)
+      .select("doc_id", "p_idx", "keep").as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, true), (1L, 1L, true),
+      (2L, 0L, false), (2L, 1L, true), (2L, 2L, false),
+      (3L, 0L, false)))
+    // partition-invariant (content-keyed ownership)
+    val out7 = Dedup.passageDedup(fixture.repartition(7), window = 3)
+      .select("doc_id", "p_idx", "keep").as[(Long, Long, Boolean)].collect().toSet
+    assert(out7 == out)
+  }
+
   // ---------- per-host cap ----------
 
   test("capPerHost: two-phase prune == independent per-host sort oracle; negative ids; nesting") {
