@@ -355,7 +355,12 @@ object Dedup {
     val p = graft.util.Cut.cut(passageTable(docs, window))
     val first = p.groupBy("h")
       .agg(min(struct(col("doc_id"), col("p_idx"))).as("f"))
-    p.join(first, "h")
+    // shuffle_hash, never broadcast: `first` is DISTINCT-PASSAGE-sized
+    // (corpus-scale), and compressed shuffle stats can fool AQE into
+    // admitting it as a driver HashedRelation (the round-5 df-guard
+    // OOM class). Both sides hash-partition on h; AQE skew-join still
+    // splits hot boilerplate fingerprints.
+    p.join(first.hint("shuffle_hash"), "h")
       .withColumn("keep",
         col("doc_id") === col("f.doc_id") && col("p_idx") === col("f.p_idx"))
       .select("doc_id", "p_idx", "h", "keep")

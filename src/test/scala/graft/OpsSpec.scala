@@ -957,6 +957,16 @@ class OpsSpec extends AnyFunSuite {
     assert(out7 == out)
   }
 
+  test("passageDedup plan: ownership join is shuffle-hash, never a driver broadcast") {
+    // the first-occurrence table is distinct-passage-sized (corpus
+    // scale); compressed stats must not admit it as a HashedRelation
+    val q = Dedup.passageDedup(docs((1L, "a b c d e f"), (2L, "a b c")), window = 3)
+    q.collect() // AQE finalizes the plan on execution
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p.take(500))
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"), p.take(500))
+  }
+
   // ---------- per-host cap ----------
 
   test("capPerHost: two-phase prune == independent per-host sort oracle; negative ids; nesting") {
