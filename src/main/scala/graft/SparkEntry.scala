@@ -60,6 +60,10 @@ object SparkEntry {
     "kg_link_scores" -> (Queries.kgLinkScores _),
     "kg_pipeline" -> (Queries.kgPipeline _),
     "kg_pagerank" -> (Queries.kgPagerank _),
+    "kg_property_table" -> (Queries.kgPropertyTable _),
+    "kg_delta" -> (Queries.kgDelta _),
+    "kg_bgp_hop" -> (Queries.kgBgpHop _),
+    "kg_taxonomy_closure" -> (Queries.kgTaxonomyClosure _),
     // training-data ops
     "text_tokens" -> (Queries.textTokens _),
     "text_quality" -> (Queries.textQuality _),
@@ -113,6 +117,33 @@ object SparkEntry {
   // COMPUTATION (signatures, joins, verification) is independent SQL.
 
   private val P = graft.ops.Portable
+
+  /** The nation-descriptor triple mapping as a SQL SELECT over a
+    * given source relation of (n_name, n_nationkey, n_regionkey) —
+    * shared by the property-table / delta / BGP oracles so the
+    * snapshot-diff oracle can state the SAME mapping over two inputs.
+    */
+  private def nationTriplesSql(rel: String): String =
+    s"""SELECT 'http://graft.local/tpch/nation/' || n_name AS s,
+       |  'http://schema.org/name' AS p, 'literal' AS o_kind, n_name AS o_lex,
+       |  CAST(NULL AS VARCHAR) AS o_datatype, 'en' AS o_lang,
+       |  'http://graft.local/graph/tpch' AS g FROM $rel
+       |UNION ALL
+       |SELECT 'http://graft.local/tpch/nation/' || n_name,
+       |  'http://graft.local/def/key', 'literal', CAST(n_nationkey AS VARCHAR),
+       |  'http://www.w3.org/2001/XMLSchema#integer', CAST(NULL AS VARCHAR),
+       |  'http://graft.local/graph/tpch' FROM $rel
+       |UNION ALL
+       |SELECT 'http://graft.local/tpch/nation/' || n_name,
+       |  'http://schema.org/containedInPlace', 'iri',
+       |  'http://graft.local/tpch/region/' || CAST(n_regionkey AS VARCHAR),
+       |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       |  'http://graft.local/graph/tpch' FROM $rel
+       |UNION ALL
+       |SELECT 'http://graft.local/tpch/nation/' || n_name,
+       |  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'iri',
+       |  'http://schema.org/Country', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       |  'http://graft.local/graph/tpch' FROM $rel""".stripMargin
 
   /** Integer fixed-point PageRank, 5 rounds unrolled (the engine's
     * exact long arithmetic — scale 10^12, damping 17/20, truncating
@@ -1092,6 +1123,58 @@ object SparkEntry {
     "kg_pagerank" ->
       s"""WITH $kgPagerankCtes
          |SELECT id, pr FROM p5""".stripMargin,
+
+    "kg_property_table" ->
+      s"""WITH t AS (${nationTriplesSql("nation")})
+         |SELECT s,
+         |  MIN(CASE WHEN p = 'http://schema.org/name' THEN o_lex END) AS name,
+         |  MIN(CASE WHEN p = 'http://graft.local/def/key' THEN o_lex END) AS key_lex,
+         |  MIN(CASE WHEN p = 'http://schema.org/containedInPlace' THEN o_lex END) AS place,
+         |  MIN(CASE WHEN p = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' THEN o_lex END) AS type_iri
+         |FROM t GROUP BY s""".stripMargin,
+
+    "kg_delta" ->
+      s"""WITH n2 AS (SELECT CASE WHEN n_nationkey % 2 = 1
+         |      THEN n_name || '_v2' ELSE n_name END AS n_name,
+         |    n_nationkey, n_regionkey FROM nation),
+         |a AS (${nationTriplesSql("nation")}),
+         |b AS (${nationTriplesSql("n2")}),
+         |rem AS (SELECT * FROM a EXCEPT SELECT * FROM b),
+         |adds AS (SELECT * FROM b EXCEPT SELECT * FROM a)
+         |SELECT '-' AS op, * FROM rem
+         |UNION ALL
+         |SELECT '+' AS op, * FROM adds""".stripMargin,
+
+    "kg_bgp_hop" ->
+      s"""WITH t AS (${nationTriplesSql("nation")}
+         |UNION ALL
+         |SELECT 'http://graft.local/tpch/region/' || CAST(r_regionkey AS VARCHAR),
+         |  'http://schema.org/name', 'literal', r_name,
+         |  CAST(NULL AS VARCHAR), 'en', 'http://graft.local/graph/tpch' FROM region)
+         |SELECT t1.s AS n, t2.o_lex AS r, t3.o_lex AS rname, t4.o_lex AS nname
+         |FROM t t1
+         |JOIN t t2 ON t2.s = t1.s AND t2.p = 'http://schema.org/containedInPlace'
+         |JOIN t t3 ON t3.s = t2.o_lex AND t3.p = 'http://schema.org/name'
+         |JOIN t t4 ON t4.s = t1.s AND t4.p = 'http://schema.org/name'
+         |WHERE t1.p = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+         |  AND t1.o_kind = 'iri' AND t1.o_lex = 'http://schema.org/Country'""".stripMargin,
+
+    "kg_taxonomy_closure" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'n' || CAST(p_partkey AS VARCHAR) AS child,
+        |    'n' || CAST((p_partkey - 1) // 8 AS VARCHAR) AS parent
+        |  FROM part WHERE p_partkey > 0
+        |  UNION ALL
+        |  SELECT 'n' || CAST(p_partkey AS VARCHAR), 'cat/' || p_type
+        |  FROM part WHERE p_partkey > 0
+        |  UNION ALL
+        |  SELECT DISTINCT 'cat/' || p_type, 'n0' FROM part WHERE p_partkey > 0),
+        |anc AS (
+        |  SELECT child, parent AS ancestor, 1 AS dist FROM e
+        |  UNION
+        |  SELECT a.child, e.parent, a.dist + 1 FROM anc a JOIN e ON a.ancestor = e.child)
+        |SELECT child, ancestor, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM anc GROUP BY child, ancestor""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $simhashCtes

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SPARQL-style basic-graph-pattern evaluation compiled to Catalyst
+  * joins over the emitted triple table — the minimal query surface a
+  * KG user needs once the pipeline has materialized triples. The
+  * reference exposes its converted data only as serialized files
+  * (/root/reference/src/cattle.py:301); here the triple table itself
+  * is the queryable artifact.
+  *
+  * Each pattern becomes a filtered scan of the triple table; patterns
+  * are folded left with inner joins on their shared variables, so
+  * Catalyst sees ordinary equi-joins: filters push into the scans,
+  * highly-selective patterns broadcast, AQE reorders sizes at runtime.
+  * Bag semantics (no implicit DISTINCT), like SPARQL BGP matching.
+  *
+  * Variable-to-column binding: a subject variable binds `s`, a
+  * predicate variable binds `p`, an object variable binds `o_lex`
+  * (the lexical form — an IRI string for `o_kind = "iri"`), so a
+  * variable can chain an object position into a subject position
+  * across patterns (the graph hop).
+  */
+object Bgp {
+
+  /** A term in a triple pattern: variable, IRI constant, or plain
+    * literal constant (matched on lexical form).
+    */
+  sealed trait Term
+  final case class V(name: String) extends Term
+  final case class I(iri: String) extends Term
+  final case class L(lex: String) extends Term
+
+  final case class Pattern(s: Term, p: Term, o: Term)
+
+  /** Evaluate the conjunction of `patterns` against `triples`
+    * (RuleCompiler.triples schema). Returns one column per distinct
+    * variable name. Disconnected pattern groups are refused rather
+    * than silently cross-producted.
+    */
+  def query(triples: DataFrame, patterns: Seq[Pattern]): DataFrame = {
+    require(patterns.nonEmpty, "empty BGP")
+    val bound = patterns.map(one(triples, _))
+    val joined = bound.reduceLeft { (acc, df) =>
+      val shared = acc.columns.toSet.intersect(df.columns.toSet).toSeq.sorted
+      require(shared.nonEmpty,
+        "disconnected BGP: pattern shares no variable with the ones before it " +
+          "(reorder the patterns or split the query) — refusing the cross product")
+      acc.join(df, shared)
+    }
+    // USING-joins move the shared columns first; normalize to the
+    // variables' first-appearance order so the output is join-order
+    // independent
+    val varOrder = patterns.flatMap(p => Seq(p.s, p.p, p.o))
+      .collect { case V(n) => n }.distinct
+    joined.select(varOrder.map(col): _*)
+  }
+
+  /** One pattern → a filtered projection of the triple table with one
+    * column per variable. A variable repeated WITHIN the pattern
+    * (e.g. `?x :p ?x`) becomes an equality filter and binds once.
+    */
+  private def one(triples: DataFrame, pat: Pattern): DataFrame = {
+    var df = triples
+    pat.s match {
+      case I(x) => df = df.filter(col("s") === lit(x))
+      case L(_) => throw new IllegalArgumentException("subject cannot be a literal")
+      case V(_) =>
+    }
+    pat.p match {
+      case I(x) => df = df.filter(col("p") === lit(x))
+      case L(_) => throw new IllegalArgumentException("predicate cannot be a literal")
+      case V(_) =>
+    }
+    pat.o match {
+      case I(x) => df = df.filter(col("o_kind") === lit("iri") && col("o_lex") === lit(x))
+      case L(x) => df = df.filter(col("o_kind") === lit("literal") && col("o_lex") === lit(x))
+      case V(_) =>
+    }
+    // bind variables in position order s, p, o; a repeat filters instead
+    val binds = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    def bind(t: Term, c: Column): Unit = t match {
+      case V(n) => binds.get(n) match {
+        case Some(prev) => df = df.filter(prev === c)
+        case None       => binds += n -> c
+      }
+      case _ =>
+    }
+    bind(pat.s, col("s"))
+    bind(pat.p, col("p"))
+    bind(pat.o, col("o_lex"))
+    df.select(binds.map { case (n, c) => c.as(n) }.toSeq: _*)
+  }
+}

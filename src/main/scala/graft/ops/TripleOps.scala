@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational operators OVER the emitted triple table — the
+  * consumption side of the KG the pipeline builds. The reference
+  * serves its converted triples as files (/root/reference/src/cattle.py:301);
+  * an analytics engine must additionally make the triple table
+  * queryable and diffable in place.
+  *
+  * Schema contract (graft.rules.RuleCompiler.triples): columns
+  * `s, p, o_kind, o_lex, o_datatype, o_lang, g`.
+  */
+object TripleOps {
+
+  val quadCols: Seq[String] =
+    Seq("s", "p", "o_kind", "o_lex", "o_datatype", "o_lang", "g")
+
+  /** Pivot a triple table into the classic property-table layout: one
+    * row per subject, one column per requested predicate, `min(o_lex)`
+    * as the deterministic pick for multi-valued predicates.
+    *
+    * Scale shape: a single hash aggregation on `s` with map-side
+    * partial `min`s — one shuffle of (s, k narrow strings) regardless
+    * of how many predicates are pivoted; no join, no per-predicate
+    * pass. This is the standard wide-table materialization used to
+    * make a 10^12-triple KG cheap to scan analytically.
+    *
+    * @param preds (predicateIri, outputColumnName) pairs
+    */
+  def propertyTable(triples: DataFrame, preds: Seq[(String, String)]): DataFrame = {
+    require(preds.nonEmpty, "propertyTable needs at least one predicate")
+    val aggs = preds.map { case (iri, name) =>
+      min(when(col("p") === lit(iri), col("o_lex"))).as(name)
+    }
+    triples.groupBy(col("s")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Snapshot diff of two triple tables: quads present only in `oldT`
+    * come out with `op = "-"`, quads present only in `newT` with
+    * `op = "+"`. Comparison is on the full quad with NULL-safe
+    * equality (`o_datatype`/`o_lang` are null for plain/IRI objects),
+    * matching SQL `EXCEPT` semantics where NULLs compare equal.
+    *
+    * Scale shape: two anti joins, each one hash shuffle keyed on the
+    * full quad — `<=>` keys stay hash-joinable in Spark (EqualNullSafe
+    * is an accepted hash-join key), so no nested-loop fallback. This
+    * is the incremental-update primitive: re-run the mapping over a
+    * changed source partition, diff against the committed snapshot,
+    * apply only the delta downstream.
+    */
+  def delta(oldT: DataFrame, newT: DataFrame): DataFrame = {
+    val a = oldT.select(quadCols.map(col): _*).alias("a")
+    val b = newT.select(quadCols.map(col): _*).alias("b")
+    def cond(l: String, r: String): Column =
+      quadCols.map(c => col(s"$l.$c") <=> col(s"$r.$c")).reduce(_ && _)
+    val removed = a.join(b, cond("a", "b"), "left_anti")
+      .select(lit("-").as("op") +: quadCols.map(col): _*)
+    val added = b.join(a, cond("b", "a"), "left_anti")
+      .select(lit("+").as("op") +: quadCols.map(col): _*)
+    removed.unionByName(added)
+  }
+}

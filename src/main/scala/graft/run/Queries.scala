@@ -766,6 +766,88 @@ object Queries {
     graft.canon.PageRank.run(chain.union(toHub), iterations = 5)
   }
 
+  /** Property-table pivot of the nation KG: one row per subject, one
+    * column per predicate — the wide layout that makes a materialized
+    * triple table cheap to scan analytically (one hash agg, no joins).
+    */
+  def kgPropertyTable(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TripleOps.propertyTable(kgTriples(spark, dir), Seq(
+      "http://schema.org/name" -> "name",
+      "http://graft.local/def/key" -> "key_lex",
+      "http://schema.org/containedInPlace" -> "place",
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" -> "type_iri"))
+
+  /** Incremental-update primitive: re-run the mapping over a changed
+    * source (odd nation keys renamed `_v2` — the rename moves both the
+    * subject IRI and the name literal) and diff against the previous
+    * snapshot. Only the changed entities' quads appear, signed +/-.
+    */
+  def kgDelta(spark: SparkSession, dir: String): DataFrame = {
+    val ts = TableSpec.fromJson(nationDescriptor)
+    def recs(df: DataFrame) = df.select(
+      col("n_name").as("name"),
+      col("n_nationkey").as("nationkey"),
+      col("n_regionkey").as("regionkey"))
+    val base = table(spark, dir, "nation")
+    val v2 = base.withColumn("n_name",
+      when(col("n_nationkey") % 2 === 1, concat(col("n_name"), lit("_v2")))
+        .otherwise(col("n_name")))
+    graft.ops.TripleOps.delta(
+      RuleCompiler.triples(recs(base), ts, ts.graph),
+      RuleCompiler.triples(recs(v2), ts, ts.graph))
+  }
+
+  val regionDescriptor: String =
+    """{
+      |  "@base": "http://graft.local/tpch/",
+      |  "aboutUrl": "region/{regionkey}",
+      |  "graph": "http://graft.local/graph/tpch",
+      |  "tableSchema": { "columns": [
+      |    { "name": "rname", "propertyUrl": "schema:name",
+      |      "datatype": "string", "lang": "en" }
+      |  ] }
+      |}""".stripMargin
+
+  /** Two-hop basic graph pattern over the nation+region KG: country →
+    * containedInPlace → region, pulling both names. The object
+    * variable `?r` of one pattern is the subject of the next — the
+    * graph hop compiled to an ordinary equi-join chain.
+    */
+  def kgBgpHop(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Bgp._
+    val rts = TableSpec.fromJson(regionDescriptor)
+    val regions = RuleCompiler.triples(
+      table(spark, dir, "region").select(
+        col("r_regionkey").as("regionkey"), col("r_name").as("rname")),
+      rts, rts.graph)
+    graft.ops.Bgp.query(kgTriples(spark, dir).unionByName(regions), Seq(
+      Pattern(V("n"), I("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+        I("http://schema.org/Country")),
+      Pattern(V("n"), I("http://schema.org/containedInPlace"), V("r")),
+      Pattern(V("r"), I("http://schema.org/name"), V("rname")),
+      Pattern(V("n"), I("http://schema.org/name"), V("nname"))))
+  }
+
+  /** Taxonomy closure over a deterministic DAG derived from `part`:
+    * an 8-ary tree on partkey (depth ~log8 n) PLUS a category layer
+    * (part → its p_type → root), so most nodes reach the root two
+    * ways and the min-dist semantics of [[graft.canon.Closure]] are
+    * actually exercised (shortcut dist 2 beats the tree path).
+    */
+  def kgTaxonomyClosure(spark: SparkSession, dir: String): DataFrame = {
+    val part = table(spark, dir, "part")
+      .select(col("p_partkey").cast("long").as("k"), col("p_type"))
+      .filter(col("k") > 0)
+    def node(c: org.apache.spark.sql.Column) = concat(lit("n"), c.cast("string"))
+    val tree = part.select(node(col("k")).as("child"),
+      node(expr("(k - 1) div 8")).as("parent"))
+    val toCat = part.select(node(col("k")).as("child"),
+      concat(lit("cat/"), col("p_type")).as("parent"))
+    val catRoot = part.select(concat(lit("cat/"), col("p_type")).as("child"),
+      lit("n0").as("parent")).distinct()
+    graft.canon.Closure.ancestors(tree.unionByName(toCat).unionByName(catRoot))
+  }
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     Dedup.clusterAndElect(docs, Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.12))

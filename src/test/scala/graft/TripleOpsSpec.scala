@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Bgp, TripleOps}
+import graft.ops.Bgp.{I, L, Pattern, V}
+
+/** Specs for the triple-table consumption operators: property-table
+  * pivot, snapshot delta, and BGP matching.
+  */
+class TripleOpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** (s, p, o_kind, o_lex, o_datatype, o_lang, g) quads. */
+  def quads(rows: (String, String, String, String, String, String)*): DataFrame =
+    rows.map { case (s, p, k, o, dt, lg) => (s, p, k, o, Option(dt), Option(lg), "g:1") }
+      .toDF("s", "p", "o_kind", "o_lex", "o_datatype", "o_lang", "g")
+
+  val base = quads(
+    ("e:1", "p:name", "literal", "Ada", null, "en"),
+    ("e:1", "p:tag", "literal", "zz", null, null),
+    ("e:1", "p:tag", "literal", "aa", null, null),
+    ("e:1", "p:knows", "iri", "e:2", null, null),
+    ("e:2", "p:name", "literal", "Bob", null, null),
+    ("e:2", "p:age", "literal", "41", "xsd:integer", null))
+
+  test("propertyTable: one row per subject, min picks multi-valued, missing pred is null") {
+    val pt = TripleOps.propertyTable(base, Seq(
+      "p:name" -> "name", "p:tag" -> "tag", "p:age" -> "age"))
+    val got = pt.orderBy("s").as[(String, String, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("e:1", "Ada", "aa", null), // tag = min("zz","aa"); no age
+      ("e:2", "Bob", null, "41")))
+  }
+
+  test("delta: signed diff on the full quad, NULL-safe; identical snapshots diff empty") {
+    assert(TripleOps.delta(base, base).isEmpty) // null dt/lang must compare equal
+    val changed = quads(
+      ("e:1", "p:name", "literal", "Ada2", null, "en"), // changed literal
+      ("e:1", "p:tag", "literal", "zz", null, null),
+      ("e:1", "p:tag", "literal", "aa", null, null),
+      ("e:1", "p:knows", "iri", "e:2", null, null),
+      ("e:2", "p:name", "literal", "Bob", null, null),
+      ("e:2", "p:age", "literal", "41", "xsd:decimal", null)) // changed datatype only
+    val d = TripleOps.delta(base, changed)
+      .select("op", "s", "p", "o_lex", "o_datatype")
+      .as[(String, String, String, String, Option[String])].collect().toSet
+    assert(d == Set(
+      ("-", "e:1", "p:name", "Ada", None),
+      ("+", "e:1", "p:name", "Ada2", None),
+      ("-", "e:2", "p:age", "41", Some("xsd:integer")),
+      ("+", "e:2", "p:age", "41", Some("xsd:decimal"))))
+  }
+
+  test("delta plan: null-safe quad keys stay hash-joinable — no nested-loop join") {
+    val d = TripleOps.delta(base, base)
+    d.collect()
+    val p = d.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
+  test("bgp: hop query — object variable chains into subject position") {
+    val t = quads(
+      ("e:1", "p:knows", "iri", "e:2", null, null),
+      ("e:2", "p:name", "literal", "Bob", null, null),
+      ("e:2", "p:knows", "iri", "e:1", null, null),
+      ("e:1", "p:name", "literal", "Ada", null, null))
+    val got = Bgp.query(t, Seq(
+      Pattern(V("a"), I("p:knows"), V("b")),
+      Pattern(V("b"), I("p:name"), V("bn"))))
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("e:1", "e:2", "Bob"), ("e:2", "e:1", "Ada")))
+  }
+
+  test("bgp: literal constant matches only literals; IRI constant only IRIs") {
+    val t = quads(
+      ("e:1", "p:v", "literal", "x", null, null),
+      ("e:2", "p:v", "iri", "x", null, null))
+    assert(Bgp.query(t, Seq(Pattern(V("s"), I("p:v"), L("x"))))
+      .as[String].collect().toSeq == Seq("e:1"))
+    assert(Bgp.query(t, Seq(Pattern(V("s"), I("p:v"), I("x"))))
+      .as[String].collect().toSeq == Seq("e:2"))
+  }
+
+  test("bgp: variable repeated within a pattern is an equality filter, bound once") {
+    val t = quads(
+      ("x", "p:v", "literal", "x", null, null),
+      ("y", "p:v", "literal", "z", null, null))
+    val out = Bgp.query(t, Seq(Pattern(V("s"), I("p:v"), V("s"))))
+    assert(out.columns.toSeq == Seq("s"))
+    assert(out.as[String].collect().toSeq == Seq("x"))
+  }
+
+  test("bgp: disconnected patterns are refused, not cross-producted") {
+    val ex = intercept[IllegalArgumentException] {
+      Bgp.query(base, Seq(
+        Pattern(V("a"), I("p:name"), V("an")),
+        Pattern(V("b"), I("p:age"), V("bn"))))
+    }
+    assert(ex.getMessage.contains("disconnected"))
+  }
+}
