@@ -63,6 +63,8 @@ object SparkEntry {
     "kg_property_table" -> (Queries.kgPropertyTable _),
     "kg_delta" -> (Queries.kgDelta _),
     "kg_bgp_hop" -> (Queries.kgBgpHop _),
+    "kg_bgp_optional" -> (Queries.kgBgpOptional _),
+    "kg_void_stats" -> (Queries.kgVoidStats _),
     "kg_taxonomy_closure" -> (Queries.kgTaxonomyClosure _),
     // training-data ops
     "text_tokens" -> (Queries.textTokens _),
@@ -1158,6 +1160,31 @@ object SparkEntry {
          |JOIN t t4 ON t4.s = t1.s AND t4.p = 'http://schema.org/name'
          |WHERE t1.p = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
          |  AND t1.o_kind = 'iri' AND t1.o_lex = 'http://schema.org/Country'""".stripMargin,
+
+    "kg_bgp_optional" ->
+      s"""WITH t AS (${nationTriplesSql("nation")}
+         |UNION ALL
+         |SELECT 'http://graft.local/tpch/region/' || CAST(r_regionkey AS VARCHAR),
+         |  'http://schema.org/name', 'literal', r_name,
+         |  CAST(NULL AS VARCHAR), 'en', 'http://graft.local/graph/tpch' FROM region)
+         |SELECT t1.s AS x, t1.o_lex AS name, t2.o_lex AS parent
+         |FROM t t1
+         |LEFT JOIN t t2 ON t2.s = t1.s
+         |  AND t2.p = 'http://schema.org/containedInPlace'
+         |WHERE t1.p = 'http://schema.org/name'""".stripMargin,
+
+    "kg_void_stats" ->
+      s"""WITH t AS (${nationTriplesSql("nation")}
+         |UNION ALL
+         |SELECT 'http://graft.local/tpch/region/' || CAST(r_regionkey AS VARCHAR),
+         |  'http://schema.org/name', 'literal', r_name,
+         |  CAST(NULL AS VARCHAR), 'en', 'http://graft.local/graph/tpch' FROM region)
+         |SELECT p, CAST(COUNT(*) AS BIGINT) AS n_triples,
+         |  CAST(COUNT(DISTINCT s) AS BIGINT) AS n_subjects,
+         |  CAST(COUNT(DISTINCT o_lex) AS BIGINT) AS n_objects,
+         |  CAST(SUM(CASE WHEN o_kind = 'literal' THEN 1 ELSE 0 END) AS BIGINT) AS n_literals,
+         |  CAST(SUM(CASE WHEN o_kind = 'iri' THEN 1 ELSE 0 END) AS BIGINT) AS n_iris
+         |FROM t GROUP BY p""".stripMargin,
 
     "kg_taxonomy_closure" ->
       """WITH RECURSIVE e AS (

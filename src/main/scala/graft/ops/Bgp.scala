@@ -39,22 +39,39 @@ object Bgp {
     * variable name. Disconnected pattern groups are refused rather
     * than silently cross-producted.
     */
-  def query(triples: DataFrame, patterns: Seq[Pattern]): DataFrame = {
+  def query(triples: DataFrame, patterns: Seq[Pattern]): DataFrame =
+    query(triples, patterns, Nil)
+
+  /** Evaluate `patterns` (the required conjunction), then left-join
+    * each `optionals` pattern in order — SPARQL OPTIONAL semantics
+    * for single-pattern groups: matched rows carry the bindings,
+    * unmatched rows carry NULLs. Each optional must share at least
+    * one already-bound variable (its join key).
+    */
+  def query(triples: DataFrame, patterns: Seq[Pattern],
+      optionals: Seq[Pattern]): DataFrame = {
     require(patterns.nonEmpty, "empty BGP")
     val bound = patterns.map(one(triples, _))
     val joined = bound.reduceLeft { (acc, df) =>
-      val shared = acc.columns.toSet.intersect(df.columns.toSet).toSeq.sorted
-      require(shared.nonEmpty,
-        "disconnected BGP: pattern shares no variable with the ones before it " +
-          "(reorder the patterns or split the query) — refusing the cross product")
-      acc.join(df, shared)
+      acc.join(df, shared(acc, df), "inner")
+    }
+    val withOpt = optionals.map(one(triples, _)).foldLeft(joined) { (acc, df) =>
+      acc.join(df, shared(acc, df), "left")
     }
     // USING-joins move the shared columns first; normalize to the
     // variables' first-appearance order so the output is join-order
     // independent
-    val varOrder = patterns.flatMap(p => Seq(p.s, p.p, p.o))
+    val varOrder = (patterns ++ optionals).flatMap(p => Seq(p.s, p.p, p.o))
       .collect { case V(n) => n }.distinct
-    joined.select(varOrder.map(col): _*)
+    withOpt.select(varOrder.map(col): _*)
+  }
+
+  private def shared(acc: DataFrame, df: DataFrame): Seq[String] = {
+    val s = acc.columns.toSet.intersect(df.columns.toSet).toSeq.sorted
+    require(s.nonEmpty,
+      "disconnected BGP: pattern shares no variable with the ones before it " +
+        "(reorder the patterns or split the query) — refusing the cross product")
+    s
   }
 
   /** One pattern → a filtered projection of the triple table with one

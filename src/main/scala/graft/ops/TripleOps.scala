@@ -37,6 +37,25 @@ object TripleOps {
     triples.groupBy(col("s")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** VoID-style dataset statistics per predicate: triple count,
+    * distinct subject / object counts, and the literal/IRI split —
+    * the standard summary a KG publisher ships next to the dump
+    * (and what query planners price joins with).
+    *
+    * Scale shape: one aggregation keyed on `p`. The two exact
+    * distinct counts expand to the usual two-level plan (partial
+    * distinct on (p, s) / (p, o_lex), then merge) — still bounded by
+    * the predicate-key shuffle; no joins, no windows. Predicate
+    * cardinality is tiny (schema-sized) so the final stage is trivial.
+    */
+  def voidStats(triples: DataFrame): DataFrame =
+    triples.groupBy(col("p")).agg(
+      count(lit(1)).as("n_triples"),
+      countDistinct(col("s")).as("n_subjects"),
+      countDistinct(col("o_lex")).as("n_objects"),
+      sum(when(col("o_kind") === "literal", 1L).otherwise(0L)).as("n_literals"),
+      sum(when(col("o_kind") === "iri", 1L).otherwise(0L)).as("n_iris"))
+
   /** Snapshot diff of two triple tables: quads present only in `oldT`
     * come out with `op = "-"`, quads present only in `newT` with
     * `op = "+"`. Comparison is on the full quad with NULL-safe

@@ -813,20 +813,44 @@ object Queries {
     * variable `?r` of one pattern is the subject of the next — the
     * graph hop compiled to an ordinary equi-join chain.
     */
-  def kgBgpHop(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Bgp._
+  /** nation + region triples in one table — the KG the BGP and VoID
+    * queries run over.
+    */
+  def nationRegionTriples(spark: SparkSession, dir: String): DataFrame = {
     val rts = TableSpec.fromJson(regionDescriptor)
     val regions = RuleCompiler.triples(
       table(spark, dir, "region").select(
         col("r_regionkey").as("regionkey"), col("r_name").as("rname")),
       rts, rts.graph)
-    graft.ops.Bgp.query(kgTriples(spark, dir).unionByName(regions), Seq(
+    kgTriples(spark, dir).unionByName(regions)
+  }
+
+  def kgBgpHop(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Bgp._
+    graft.ops.Bgp.query(nationRegionTriples(spark, dir), Seq(
       Pattern(V("n"), I("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
         I("http://schema.org/Country")),
       Pattern(V("n"), I("http://schema.org/containedInPlace"), V("r")),
       Pattern(V("r"), I("http://schema.org/name"), V("rname")),
       Pattern(V("n"), I("http://schema.org/name"), V("nname"))))
   }
+
+  /** OPTIONAL semantics: every named entity (nations AND regions),
+    * with its container where one exists — regions have none, so
+    * their `parent` comes back NULL through the left join.
+    */
+  def kgBgpOptional(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Bgp._
+    graft.ops.Bgp.query(nationRegionTriples(spark, dir),
+      Seq(Pattern(V("x"), I("http://schema.org/name"), V("name"))),
+      Seq(Pattern(V("x"), I("http://schema.org/containedInPlace"), V("parent"))))
+  }
+
+  /** VoID-style per-predicate dataset statistics over the nation +
+    * region KG.
+    */
+  def kgVoidStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TripleOps.voidStats(nationRegionTriples(spark, dir))
 
   /** Taxonomy closure over a deterministic DAG derived from `part`:
     * an 8-ary tree on partkey (depth ~log8 n) PLUS a category layer

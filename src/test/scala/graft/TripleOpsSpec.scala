@@ -96,6 +96,30 @@ class TripleOpsSpec extends AnyFunSuite {
     assert(out.as[String].collect().toSeq == Seq("x"))
   }
 
+  test("voidStats: per-predicate triple/subject/object counts and kind split") {
+    val got = TripleOps.voidStats(base).orderBy("p")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("p:age", 1L, 1L, 1L, 1L, 0L),
+      ("p:knows", 1L, 1L, 1L, 0L, 1L),
+      ("p:name", 2L, 2L, 2L, 2L, 0L),
+      ("p:tag", 2L, 1L, 2L, 2L, 0L)))
+  }
+
+  test("bgp OPTIONAL: unmatched optional binds NULL, matched rows carry bindings") {
+    val t = quads(
+      ("e:1", "p:name", "literal", "Ada", null, null),
+      ("e:2", "p:name", "literal", "Bob", null, null),
+      ("e:1", "p:boss", "iri", "e:2", null, null))
+    val got = Bgp.query(t,
+      Seq(Pattern(V("x"), I("p:name"), V("name"))),
+      Seq(Pattern(V("x"), I("p:boss"), V("boss"))))
+      .as[(String, String, Option[String])].collect().toSet
+    assert(got == Set(
+      ("e:1", "Ada", Some("e:2")),
+      ("e:2", "Bob", None)))
+  }
+
   test("bgp: disconnected patterns are refused, not cross-producted") {
     val ex = intercept[IllegalArgumentException] {
       Bgp.query(base, Seq(
