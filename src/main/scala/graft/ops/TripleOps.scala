@@ -21,11 +21,14 @@ object TripleOps {
     * row per subject, one column per requested predicate, `min(o_lex)`
     * as the deterministic pick for multi-valued predicates.
     *
-    * Scale shape: a single hash aggregation on `s` with map-side
-    * partial `min`s — one shuffle of (s, k narrow strings) regardless
-    * of how many predicates are pivoted; no join, no per-predicate
-    * pass. This is the standard wide-table materialization used to
-    * make a 10^12-triple KG cheap to scan analytically.
+    * Scale shape: a single aggregation on `s` with map-side partial
+    * `min`s — one shuffle of (s, k narrow strings) regardless of how
+    * many predicates are pivoted; no join, no per-predicate pass.
+    * (Physically a SortAggregate pair: string aggregation buffers are
+    * not hash-aggregable in Spark — the partial/final split and the
+    * single exchange are the properties that matter, both plan-pinned.)
+    * This is the standard wide-table materialization used to make a
+    * 10^12-triple KG cheap to scan analytically.
     *
     * @param preds (predicateIri, outputColumnName) pairs
     */

@@ -327,4 +327,47 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected two partial/final aggregate pairs")
     assert(p.contains("xxhash64"), "salt must derive from the url hash")
   }
+
+  test("kg_property_table: one partial/final agg pair, ONE exchange — pivot width is free") {
+    val p = simplePlan(Queries.kgPropertyTable(spark, d))
+    // 4 pivoted predicates must not mean 4 passes: exactly one
+    // subject-keyed shuffle with map-side partial mins (SortAggregate:
+    // string agg buffers are not hash-aggregable, the partial/final
+    // split is what matters)
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    assert("partial_min".r.findAllIn(p).nonEmpty, p)
+    assert("(Sort|Hash)Aggregate".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("Join"), "propertyTable must not join")
+  }
+
+  test("kg_bgp_hop: constant-term filters evaluate before the joins, not after") {
+    val q = Queries.kgBgpHop(spark, d)
+    q.collect() // let AQE finalize
+    val p = q.queryExecution.executedPlan.toString
+    // each pattern's predicate-IRI constant must restrict its own
+    // branch (a Filter below every join input), never survive as a
+    // post-join filter on the full product
+    assert(p.contains("schema.org/containedInPlace"))
+    val joinLine = p.linesIterator.find(l => l.contains("Join")).getOrElse("")
+    assert(!joinLine.contains("schema.org"),
+      s"pattern constants must not be join-level residuals: $joinLine")
+  }
+
+  test("kg_taxonomy_closure: per-round plans are cut — result reads RDD scans, no join tower") {
+    val q = Queries.kgTaxonomyClosure(spark, d)
+    // the returned frame is a union of lineage-cut rounds: executing
+    // it must NOT re-run the iteration's joins (the classic iterative
+    // lineage trap) — so its plan contains scans of materialized RDDs
+    // and zero joins
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD"), p.take(600))
+    assert(!p.contains("Join"), s"closure result must not replay round joins:\n${p.take(600)}")
+  }
+
+  test("kg_void_stats: distinct-expand plan stays bounded by the predicate-keyed shuffle") {
+    val p = simplePlan(Queries.kgVoidStats(spark, d))
+    assert(!p.contains("Join"), "voidStats must not join")
+    assert(p.contains("expand") || p.contains("Expand"),
+      "two exact distincts should compile to the expand strategy, not repeated scans")
+  }
 }
