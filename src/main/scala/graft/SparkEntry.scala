@@ -66,6 +66,7 @@ object SparkEntry {
     "kg_bgp_optional" -> (Queries.kgBgpOptional _),
     "kg_void_stats" -> (Queries.kgVoidStats _),
     "kg_taxonomy_closure" -> (Queries.kgTaxonomyClosure _),
+    "kg_type_inference" -> (Queries.kgTypeInference _),
     // training-data ops
     "text_tokens" -> (Queries.textTokens _),
     "text_quality" -> (Queries.textQuality _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "text_repetition" -> (Queries.textRepetition _),
     "text_pii_redact" -> (Queries.textPiiRedact _),
     "text_vocab_topk" -> (Queries.textVocabTopk _),
+    "text_url_canon" -> (Queries.textUrlCanon _),
     "dedup_exact" -> (Queries.dedupExact _),
     "curation_pipeline" -> (Queries.curationPipeline _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
@@ -1025,6 +1027,27 @@ object SparkEntry {
         |FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
+    // the oracle is the EXPECTED canonical string per messy shape,
+    // stated directly — an independent derivation, not a re-run of
+    // the normalization algorithm
+    "text_url_canon" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'http://www.ex' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.test/a/' || CAST(doc_id AS VARCHAR) || '?a=1&z=9'
+        |    WHEN 1 THEN 'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.test/b?a=1&b=2'
+        |    WHEN 2 THEN 'http://ex' || CAST(doc_id % 7 AS VARCHAR) || '.test/'
+        |    ELSE 'https://sub.ex' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.test:8443/c/' || CAST(doc_id AS VARCHAR)
+        |  END AS url_canon,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'test.ex' || CAST(doc_id % 7 AS VARCHAR) || '.www'
+        |    WHEN 1 THEN 'test.ex' || CAST(doc_id % 7 AS VARCHAR)
+        |    WHEN 2 THEN 'test.ex' || CAST(doc_id % 7 AS VARCHAR)
+        |    ELSE 'test.ex' || CAST(doc_id % 7 AS VARCHAR) || '.sub'
+        |  END AS surt
+        |FROM documents""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |  CAST(COUNT(*) AS BIGINT) AS group_size
@@ -1185,6 +1208,17 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN o_kind = 'literal' THEN 1 ELSE 0 END) AS BIGINT) AS n_literals,
          |  CAST(SUM(CASE WHEN o_kind = 'iri' THEN 1 ELSE 0 END) AS BIGINT) AS n_iris
          |FROM t GROUP BY p""".stripMargin,
+
+    // rdfs9 over a FIXED-DEPTH class DAG: the oracle unrolls the two
+    // TBox levels directly instead of recursing
+    "kg_type_inference" ->
+      """WITH p AS (SELECT 'n' || CAST(p_partkey AS VARCHAR) AS inst, p_type,
+        |    length(p_type) % 2 AS g FROM part)
+        |SELECT inst, 'cat/' || p_type AS cls, CAST(0 AS BIGINT) AS dist FROM p
+        |UNION ALL
+        |SELECT inst, 'grp/' || CAST(g AS VARCHAR), CAST(1 AS BIGINT) FROM p
+        |UNION ALL
+        |SELECT inst, 'root', CAST(2 AS BIGINT) FROM p""".stripMargin,
 
     "kg_taxonomy_closure" ->
       """WITH RECURSIVE e AS (

@@ -59,6 +59,34 @@ object TripleOps {
       sum(when(col("o_kind") === "literal", 1L).otherwise(0L)).as("n_literals"),
       sum(when(col("o_kind") === "iri", 1L).otherwise(0L)).as("n_iris"))
 
+  /** RDFS-style type inference (rule rdfs9): every instance typed `c`
+    * is also typed every ancestor of `c` in the class hierarchy.
+    * Returns `inst, cls, dist` — dist 0 for the asserted type, else
+    * min subclass-hops to the inferred class.
+    *
+    * Scale shape: the TBox (class hierarchy) is schema-sized while the
+    * ABox (instance types) is corpus-sized — so the TBox closure
+    * ([[graft.canon.Closure]]) is computed first and BROADCAST into a
+    * map-side join against the ABox scan: zero shuffles of instance
+    * data, the only right shape at 10^12 instances. The broadcast is
+    * a hint, not a bet: a pathological million-class TBox falls back
+    * to a regular join rather than OOMing the driver (Spark drops the
+    * hint above the broadcast threshold only if stats say so — the
+    * contract here is TBox ≪ ABox, documented).
+    *
+    * @param abox (inst, cls) asserted instance types
+    * @param tbox (child, parent) direct subclass edges
+    */
+  def inferTypes(abox: DataFrame, tbox: DataFrame): DataFrame = {
+    val closure = graft.canon.Closure.ancestors(tbox)
+    val direct = abox.select(col("inst"), col("cls"), lit(0L).as("dist"))
+    val inferred = abox.join(
+        org.apache.spark.sql.functions.broadcast(closure),
+        abox("cls") === closure("child"))
+      .select(col("inst"), col("ancestor").as("cls"), col("dist"))
+    direct.unionByName(inferred)
+  }
+
   /** Snapshot diff of two triple tables: quads present only in `oldT`
     * come out with `op = "-"`, quads present only in `newT` with
     * `op = "+"`. Comparison is on the full quad with NULL-safe

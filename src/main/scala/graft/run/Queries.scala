@@ -872,6 +872,27 @@ object Queries {
     graft.canon.Closure.ancestors(tree.unionByName(toCat).unionByName(catRoot))
   }
 
+  /** rdfs9 type inference: parts are the (corpus-sized) ABox, typed
+    * by their category; the TBox is a deterministic two-level class
+    * DAG (cat → grp → root). The class closure broadcasts against the
+    * instance scan — zero instance shuffles (plan-pinned).
+    */
+  def kgTypeInference(spark: SparkSession, dir: String): DataFrame = {
+    val part = table(spark, dir, "part")
+      .select(col("p_partkey").cast("long").as("k"), col("p_type"))
+    val abox = part.select(
+      concat(lit("n"), col("k").cast("string")).as("inst"),
+      concat(lit("cat/"), col("p_type")).as("cls"))
+    val catGrp = part.select(
+      concat(lit("cat/"), col("p_type")).as("child"),
+      concat(lit("grp/"), (length(col("p_type")) % 2).cast("string")).as("parent"))
+      .distinct()
+    val grpRoot = part.select(
+      concat(lit("grp/"), (length(col("p_type")) % 2).cast("string")).as("child"),
+      lit("root").as("parent")).distinct()
+    graft.ops.TripleOps.inferTypes(abox, catGrp.unionByName(grpRoot))
+  }
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     Dedup.clusterAndElect(docs, Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.12))
@@ -886,6 +907,30 @@ object Queries {
     Dedup.decontaminate(
       docs.filter(col("doc_id") % 50 =!= 0),
       docs.filter(col("doc_id") % 50 === 0))
+  }
+
+  /** URL canonicalization sweep: four deterministic messy-URL shapes
+    * (case, default/explicit ports, fragments, unsorted or degenerate
+    * query strings, empty path) → canonical form + SURT host. The
+    * oracle states the EXPECTED canonical string per shape directly —
+    * an independent derivation, not a mirror of the algorithm.
+    */
+  def textUrlCanon(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.UrlOps
+    val docs = table(spark, dir, "documents").select(col("doc_id"))
+    val k = (col("doc_id") % 7).cast("string")
+    val id = col("doc_id").cast("string")
+    val messy = when(col("doc_id") % 4 === 0,
+        concat(lit("HTTP://WWW.Ex"), k, lit(".test:80/a/"), id, lit("?z=9&a=1#frag")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://Ex"), k, lit(".TEST:443/b?b=2&a=1&")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("http://ex"), k, lit(".test")))
+      .otherwise(
+        concat(lit("https://sub.ex"), k, lit(".test:8443/c/"), id, lit("#x")))
+    docs.select(col("doc_id"),
+      UrlOps.normalizeUrl(messy).as("url_canon"),
+      UrlOps.surtHost(UrlOps.hostOf(messy)).as("surt"))
   }
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =

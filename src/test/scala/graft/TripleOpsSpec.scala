@@ -120,6 +120,29 @@ class TripleOpsSpec extends AnyFunSuite {
       ("e:2", "Bob", None)))
   }
 
+  test("inferTypes: rdfs9 — asserted at dist 0, ancestors at min subclass-hops") {
+    val abox = Seq(("i1", "A"), ("i2", "B"), ("i3", "C")).toDF("inst", "cls")
+    // A -> B -> Top, C -> Top (and A -> Top shortcut, dist 1 beats 2)
+    val tbox = Seq(("A", "B"), ("B", "Top"), ("C", "Top"), ("A", "Top"))
+      .toDF("child", "parent")
+    val got = TripleOps.inferTypes(abox, tbox)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("i1", "A", 0L), ("i1", "B", 1L), ("i1", "Top", 1L),
+      ("i2", "B", 0L), ("i2", "Top", 1L),
+      ("i3", "C", 0L), ("i3", "Top", 1L)))
+  }
+
+  test("inferTypes plan: TBox closure broadcasts — instance data is never shuffled") {
+    val abox = Seq(("i1", "A")).toDF("inst", "cls")
+    val tbox = Seq(("A", "Top")).toDF("child", "parent")
+    val q = TripleOps.inferTypes(abox, tbox)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(500))
+  }
+
   test("bgp: disconnected patterns are refused, not cross-producted") {
     val ex = intercept[IllegalArgumentException] {
       Bgp.query(base, Seq(
