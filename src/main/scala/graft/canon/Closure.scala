@@ -22,14 +22,23 @@ import graft.util.Cut
   * stop.
   *
   * Scale shape: each round is one equi-join of the frontier against
-  * the edge table plus one anti-join against the result — all hash
-  * shuffles keyed on node ids; rounds = graph DEPTH (taxonomies:
-  * tens), not size. The frontier and result are lineage-cut every
-  * round ([[graft.util.Cut]]) so round k's plan never re-runs rounds
-  * 1..k-1 — the classic iterative-Spark trap. The edge table is
-  * cut once and re-read each round. The per-round `isEmpty` is a
-  * driver-side convergence probe on an already-materialized cut
-  * frame (a cheap limit-1 scan, not a recompute).
+  * the edge table, then the anti-join against the accumulated result,
+  * then the per-level dedup — in that order, because the anti-join's
+  * (child, ancestor) clustering already covers the distinct (dist is
+  * level-constant), so the dedup adds no exchange. Rounds = graph
+  * DEPTH (taxonomies: tens), not size. Each round's fresh frontier is
+  * lineage-cut ([[graft.util.Cut]]) so round k's plan never re-runs
+  * rounds 1..k-1 — the classic iterative-Spark trap; the result is
+  * the union of the materialized rounds, never re-materialized as a
+  * whole. The per-round `isEmpty` is a driver-side convergence probe
+  * on an already-materialized cut frame (a cheap limit-1 scan, not a
+  * recompute). AQE re-plans every round over the cut RDDs' true
+  * sizes (runtime broadcast of a small frontier, partition
+  * coalescing); a MEASURED dead end: pre-partitioning + persisting
+  * the edge table to save its per-round exchange pins the cached
+  * partition count, blocks those AQE decisions, and ran ~2.5x SLOWER
+  * at bench scale — the same class of result as the round-4 carried-
+  * union finding (BENCH.md).
   *
   * @param edges    DataFrame with `child`, `parent` columns
   * @param maxIters hard bound on rounds (defence against unexpectedly
@@ -41,9 +50,11 @@ object Closure {
 
   def ancestors(edges: DataFrame, maxIters: Int = 30): DataFrame = {
     val e = Cut.cut(edges.select(col("child"), col("parent")))
-    var paths = Cut.cut(
-      e.select(col("child"), col("parent").as("ancestor"), lit(1L).as("dist")))
-    var frontier = paths
+    var frontier = Cut.cut(
+      e.select(col("child"), col("parent").as("ancestor"), lit(1L).as("dist"))
+        .distinct()) // multi-edges collapse to one dist-1 pair
+    val rounds = scala.collection.mutable.ArrayBuffer(frontier)
+    def paths = rounds.reduce(_ unionByName _)
     var round = 1
     var done = false
     while (!done) {
@@ -51,9 +62,11 @@ object Closure {
         .join(e.alias("e"), col("f.ancestor") === col("e.child"))
         .select(col("f.child"), col("e.parent").as("ancestor"),
           (col("f.dist") + 1).as("dist"))
-        .distinct()
+      // anti-join first, then dedup: the join's (child, ancestor)
+      // clustering already covers the distinct (dist is
+      // level-constant), so the dedup adds no exchange
       val fresh = Cut.cut(
-        stepped.join(paths, Seq("child", "ancestor"), "left_anti"))
+        stepped.join(paths, Seq("child", "ancestor"), "left_anti").distinct())
       if (fresh.isEmpty) {
         done = true
       } else {
@@ -61,10 +74,10 @@ object Closure {
         if (round > maxIters) throw new IllegalStateException(
           s"transitive closure did not converge within $maxIters rounds — " +
             "graph deeper than expected; raise maxIters deliberately")
-        paths = Cut.cut(paths.unionByName(fresh))
+        rounds += fresh
         frontier = fresh
       }
     }
-    paths
+    paths // union of the materialized per-round RDDs
   }
 }
