@@ -64,6 +64,7 @@ object SparkEntry {
     "kg_delta" -> (Queries.kgDelta _),
     "kg_bgp_hop" -> (Queries.kgBgpHop _),
     "kg_bgp_optional" -> (Queries.kgBgpOptional _),
+    "kg_bgp_path" -> (Queries.kgBgpPath _),
     "kg_void_stats" -> (Queries.kgVoidStats _),
     "kg_taxonomy_closure" -> (Queries.kgTaxonomyClosure _),
     "kg_type_inference" -> (Queries.kgTypeInference _),
@@ -1208,6 +1209,23 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN o_kind = 'literal' THEN 1 ELSE 0 END) AS BIGINT) AS n_literals,
          |  CAST(SUM(CASE WHEN o_kind = 'iri' THEN 1 ELSE 0 END) AS BIGINT) AS n_iris
          |FROM t GROUP BY p""".stripMargin,
+
+    "kg_bgp_path" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'http://graft.local/tax/n' || CAST(p_partkey AS VARCHAR) AS child,
+        |    'http://graft.local/tax/n' || CAST((p_partkey - 1) // 8 AS VARCHAR) AS parent
+        |  FROM part WHERE p_partkey > 0),
+        |anc AS (
+        |  SELECT child, parent AS ancestor FROM e
+        |  UNION
+        |  SELECT a.child, e.parent FROM anc a JOIN e ON a.ancestor = e.child),
+        |lab AS (
+        |  SELECT 'http://graft.local/tax/n' || CAST(p_partkey AS VARCHAR) AS s,
+        |    'node ' || CAST(p_partkey AS VARCHAR) AS name
+        |  FROM part WHERE p_partkey > 0)
+        |SELECT a.child AS x, l.name
+        |FROM anc a JOIN lab l ON l.s = a.child
+        |WHERE a.ancestor = 'http://graft.local/tax/n0'""".stripMargin,
 
     // rdfs9 over a FIXED-DEPTH class DAG: the oracle unrolls the two
     // TBox levels directly instead of recursing

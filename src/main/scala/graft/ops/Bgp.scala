@@ -24,13 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object Bgp {
 
-  /** A term in a triple pattern: variable, IRI constant, or plain
-    * literal constant (matched on lexical form).
+  /** A term in a triple pattern: variable, IRI constant, plain
+    * literal constant (matched on lexical form), or — in predicate
+    * position only — a one-or-more transitive path `P(iri)` (SPARQL
+    * `iri+`).
     */
   sealed trait Term
   final case class V(name: String) extends Term
   final case class I(iri: String) extends Term
   final case class L(lex: String) extends Term
+
+  /** Transitive predicate path (`iri+`): matches s→o connected by ONE
+    * or more hops of `iri` edges. Evaluated by materializing the
+    * predicate's edge closure ([[graft.canon.Closure]] — rounds =
+    * path depth, not graph size) and joining it in like any other
+    * pattern; IRI-object edges only (literals cannot chain).
+    */
+  final case class P(iri: String) extends Term
 
   final case class Pattern(s: Term, p: Term, o: Term)
 
@@ -78,21 +88,62 @@ object Bgp {
     * column per variable. A variable repeated WITHIN the pattern
     * (e.g. `?x :p ?x`) becomes an equality filter and binds once.
     */
-  private def one(triples: DataFrame, pat: Pattern): DataFrame = {
+  private def one(triples: DataFrame, pat: Pattern): DataFrame = pat.p match {
+    case P(iri) => transitive(triples, pat, iri)
+    case _      => direct(triples, pat)
+  }
+
+  /** `iri+` pattern: the predicate's edge closure plays the triple
+    * table, with (child, ancestor) standing in for (s, o_lex).
+    */
+  private def transitive(triples: DataFrame, pat: Pattern, iri: String): DataFrame = {
+    val edges = triples
+      .filter(col("p") === lit(iri) && col("o_kind") === lit("iri"))
+      .select(col("s").as("child"), col("o_lex").as("parent"))
+    var df = graft.canon.Closure.ancestors(edges)
+    pat.s match {
+      case I(x) => df = df.filter(col("child") === lit(x))
+      case L(_) => throw new IllegalArgumentException("subject cannot be a literal")
+      case P(_) => throw new IllegalArgumentException("a path term is only valid as predicate")
+      case V(_) =>
+    }
+    pat.o match {
+      case I(x) => df = df.filter(col("ancestor") === lit(x))
+      case L(_) => throw new IllegalArgumentException(
+        "a transitive path chains IRIs; its object cannot be a literal")
+      case P(_) => throw new IllegalArgumentException("a path term is only valid as predicate")
+      case V(_) =>
+    }
+    val binds = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    def bind(t: Term, c: Column): Unit = t match {
+      case V(n) => binds.get(n) match {
+        case Some(prev) => df = df.filter(prev === c)
+        case None       => binds += n -> c
+      }
+      case _ =>
+    }
+    bind(pat.s, col("child"))
+    bind(pat.o, col("ancestor"))
+    df.select(binds.map { case (n, c) => c.as(n) }.toSeq: _*)
+  }
+
+  private def direct(triples: DataFrame, pat: Pattern): DataFrame = {
     var df = triples
     pat.s match {
       case I(x) => df = df.filter(col("s") === lit(x))
       case L(_) => throw new IllegalArgumentException("subject cannot be a literal")
+      case P(_) => throw new IllegalArgumentException("a path term is only valid as predicate")
       case V(_) =>
     }
     pat.p match {
       case I(x) => df = df.filter(col("p") === lit(x))
       case L(_) => throw new IllegalArgumentException("predicate cannot be a literal")
-      case V(_) =>
+      case _    =>
     }
     pat.o match {
       case I(x) => df = df.filter(col("o_kind") === lit("iri") && col("o_lex") === lit(x))
       case L(x) => df = df.filter(col("o_kind") === lit("literal") && col("o_lex") === lit(x))
+      case P(_) => throw new IllegalArgumentException("a path term is only valid as predicate")
       case V(_) =>
     }
     // bind variables in position order s, p, o; a repeat filters instead

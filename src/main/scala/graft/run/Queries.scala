@@ -872,6 +872,33 @@ object Queries {
     graft.canon.Closure.ancestors(tree.unionByName(toCat).unionByName(catRoot))
   }
 
+  /** SPARQL property path `broader+` INSIDE a BGP: every taxonomy
+    * node that reaches the root through one-or-more broader hops,
+    * joined to its label pattern — the path term materializes the
+    * predicate's closure and joins it like any other pattern.
+    */
+  def kgBgpPath(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Bgp._
+    val nul = lit(null).cast("string")
+    val part = table(spark, dir, "part")
+      .select(col("p_partkey").cast("long").as("k")).filter(col("k") > 0)
+    def node(c: org.apache.spark.sql.Column) =
+      concat(lit("http://graft.local/tax/n"), c.cast("string"))
+    val broader = part.select(node(col("k")).as("s"),
+      lit("http://graft.local/def/broader").as("p"), lit("iri").as("o_kind"),
+      node(expr("(k - 1) div 8")).as("o_lex"),
+      nul.as("o_datatype"), nul.as("o_lang"), lit("http://graft.local/graph/tax").as("g"))
+    val labels = part.select(node(col("k")).as("s"),
+      lit("http://www.w3.org/2000/01/rdf-schema#label").as("p"),
+      lit("literal").as("o_kind"),
+      concat(lit("node "), col("k").cast("string")).as("o_lex"),
+      nul.as("o_datatype"), nul.as("o_lang"), lit("http://graft.local/graph/tax").as("g"))
+    graft.ops.Bgp.query(broader.unionByName(labels), Seq(
+      Pattern(V("x"), P("http://graft.local/def/broader"),
+        I("http://graft.local/tax/n0")),
+      Pattern(V("x"), I("http://www.w3.org/2000/01/rdf-schema#label"), V("name"))))
+  }
+
   /** rdfs9 type inference: parts are the (corpus-sized) ABox, typed
     * by their category; the TBox is a deterministic two-level class
     * DAG (cat → grp → root). The class closure broadcasts against the

@@ -143,6 +143,33 @@ class TripleOpsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(500))
   }
 
+  test("bgp path (iri+): one-or-more hops, joins with direct patterns, cycles safe") {
+    // a -> b -> c, d -> c; labels on all
+    val t = quads(
+      ("a", "p:up", "iri", "b", null, null),
+      ("b", "p:up", "iri", "c", null, null),
+      ("d", "p:up", "iri", "c", null, null),
+      ("a", "p:name", "literal", "A", null, null),
+      ("b", "p:name", "literal", "B", null, null),
+      ("d", "p:name", "literal", "D", null, null))
+    val got = Bgp.query(t, Seq(
+      Pattern(V("x"), Bgp.P("p:up"), I("c")),
+      Pattern(V("x"), I("p:name"), V("n"))))
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("a", "A"), ("b", "B"), ("d", "D")))
+    // ?x up+ ?x on a cycle binds once (repeated-var filter)
+    val cyc = quads(
+      ("p", "p:up", "iri", "q", null, null),
+      ("q", "p:up", "iri", "p", null, null))
+    assert(Bgp.query(cyc, Seq(Pattern(V("x"), Bgp.P("p:up"), V("x"))))
+      .as[String].collect().toSet == Set("p", "q"))
+    // a path term anywhere but predicate position is refused
+    val ex = intercept[IllegalArgumentException] {
+      Bgp.query(t, Seq(Pattern(Bgp.P("p:up"), I("p:name"), V("n"))))
+    }
+    assert(ex.getMessage.contains("predicate"))
+  }
+
   test("bgp: disconnected patterns are refused, not cross-producted") {
     val ex = intercept[IllegalArgumentException] {
       Bgp.query(base, Seq(
