@@ -80,4 +80,41 @@ object Closure {
     }
     paths // union of the materialized per-round RDDs
   }
+
+  /** Seeded variant: the nodes that REACH `target` through 1+ hops,
+    * with min hop-distance — `child, dist`. Same level-synchronous
+    * BFS as [[ancestors]], but grown backwards from one constant, so
+    * it materializes only the pairs a `(?x, p+, <target>)` query
+    * keeps instead of the full |V|·depth closure and then a filter.
+    * For forward reachability (nodes reachable FROM a constant), pass
+    * the edge table with `child`/`parent` swapped.
+    */
+  def reaching(edges: DataFrame, target: String, maxIters: Int = 30): DataFrame = {
+    val e = Cut.cut(edges.select(col("child"), col("parent")))
+    var frontier = Cut.cut(
+      e.filter(col("parent") === lit(target))
+        .select(col("child"), lit(1L).as("dist")).distinct())
+    val rounds = scala.collection.mutable.ArrayBuffer(frontier)
+    def seen = rounds.reduce(_ unionByName _)
+    var round = 1
+    var done = false
+    while (!done) {
+      val stepped = frontier.withColumnRenamed("child", "mid").alias("f")
+        .join(e.alias("e"), col("e.parent") === col("f.mid"))
+        .select(col("e.child"), (col("f.dist") + 1).as("dist"))
+      val fresh = Cut.cut(
+        stepped.join(seen, Seq("child"), "left_anti").distinct())
+      if (fresh.isEmpty) {
+        done = true
+      } else {
+        round += 1
+        if (round > maxIters) throw new IllegalStateException(
+          s"seeded closure did not converge within $maxIters rounds — " +
+            "graph deeper than expected; raise maxIters deliberately")
+        rounds += fresh
+        frontier = fresh
+      }
+    }
+    seen
+  }
 }

@@ -94,25 +94,43 @@ object Bgp {
   }
 
   /** `iri+` pattern: the predicate's edge closure plays the triple
-    * table, with (child, ancestor) standing in for (s, o_lex).
+    * table, with (child, ancestor) standing in for (s, o_lex). A
+    * constant endpoint SEEDS the closure ([[graft.canon.Closure
+    * .reaching]]) — BFS grows from the constant and materializes only
+    * the pairs the pattern keeps, instead of the full |V|·depth
+    * closure followed by a filter; both ends variable falls back to
+    * the full closure.
     */
   private def transitive(triples: DataFrame, pat: Pattern, iri: String): DataFrame = {
+    (pat.s, pat.o) match {
+      case (L(_), _) => throw new IllegalArgumentException("subject cannot be a literal")
+      case (_, L(_)) => throw new IllegalArgumentException(
+        "a transitive path chains IRIs; its object cannot be a literal")
+      case (P(_), _) | (_, P(_)) =>
+        throw new IllegalArgumentException("a path term is only valid as predicate")
+      case _ =>
+    }
     val edges = triples
       .filter(col("p") === lit(iri) && col("o_kind") === lit("iri"))
       .select(col("s").as("child"), col("o_lex").as("parent"))
-    var df = graft.canon.Closure.ancestors(edges)
+    var df = (pat.s, pat.o) match {
+      case (_, I(x)) => // seed backwards from the object constant
+        graft.canon.Closure.reaching(edges, x)
+          .withColumn("ancestor", lit(x))
+      case (I(y), _) => // seed forwards from the subject constant
+        graft.canon.Closure.reaching(
+            edges.select(col("parent").as("child"), col("child").as("parent")), y)
+          .withColumnRenamed("child", "ancestor")
+          .withColumn("child", lit(y))
+      case _ => graft.canon.Closure.ancestors(edges)
+    }
     pat.s match {
       case I(x) => df = df.filter(col("child") === lit(x))
-      case L(_) => throw new IllegalArgumentException("subject cannot be a literal")
-      case P(_) => throw new IllegalArgumentException("a path term is only valid as predicate")
-      case V(_) =>
+      case _    =>
     }
     pat.o match {
       case I(x) => df = df.filter(col("ancestor") === lit(x))
-      case L(_) => throw new IllegalArgumentException(
-        "a transitive path chains IRIs; its object cannot be a literal")
-      case P(_) => throw new IllegalArgumentException("a path term is only valid as predicate")
-      case V(_) =>
+      case _    =>
     }
     val binds = scala.collection.mutable.LinkedHashMap.empty[String, Column]
     def bind(t: Term, c: Column): Unit = t match {

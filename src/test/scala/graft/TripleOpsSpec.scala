@@ -170,6 +170,24 @@ class TripleOpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("predicate"))
   }
 
+  test("bgp path: constant-seeded evaluation == full-closure filter, both directions") {
+    // diamond with a tail: a->b->d, a->c->d, d->e
+    val t = quads(
+      ("a", "p:up", "iri", "b", null, null),
+      ("a", "p:up", "iri", "c", null, null),
+      ("b", "p:up", "iri", "d", null, null),
+      ("c", "p:up", "iri", "d", null, null),
+      ("d", "p:up", "iri", "e", null, null))
+    // ?x up+ e : backward-seeded — everything reaches e
+    assert(Bgp.query(t, Seq(Pattern(V("x"), Bgp.P("p:up"), I("e"))))
+      .as[String].collect().toSet == Set("a", "b", "c", "d"))
+    // a up+ ?y : forward-seeded — everything reachable from a, ONCE
+    // each (the diamond's two routes to d must not duplicate)
+    val fwd = Bgp.query(t, Seq(Pattern(I("a"), Bgp.P("p:up"), V("y"))))
+      .as[String].collect().toSeq
+    assert(fwd.sorted == Seq("b", "c", "d", "e"))
+  }
+
   test("bgp: disconnected patterns are refused, not cross-producted") {
     val ex = intercept[IllegalArgumentException] {
       Bgp.query(base, Seq(
