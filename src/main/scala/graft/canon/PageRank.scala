@@ -61,13 +61,21 @@ object PageRank {
       e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
         .distinct())
     val base = scale * 3L / 20L
+    // iterations chain LAZILY (round 6): `ed` and `nodes` are the only
+    // frames read more than once and they are cut above, so the k-round
+    // plan re-computes nothing — each round appears once, inline. The
+    // round-5 per-iteration Cut materialized every rank table and paid
+    // one scheduling round-trip per iteration; dropping it lets ONE
+    // action run the whole k-round DAG with AQE planning every stage
+    // from runtime sizes. Exact long arithmetic ⇒ bit-identical either
+    // way. (A deep-k caller can re-cut outside; k is bounded at 100.)
     var pr = nodes.withColumn("pr", lit(scale))
     for (_ <- 1 to iterations) {
       val inMass = ed.join(pr.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(expr("pr div deg")).as("m"))
-      pr = Cut.cut(nodes.join(inMass, Seq("id"), "left").select(col("id"),
-        (lit(base) + expr("(17 * coalesce(m, 0L)) div 20")).as("pr")))
+      pr = nodes.join(inMass, Seq("id"), "left").select(col("id"),
+        (lit(base) + expr("(17 * coalesce(m, 0L)) div 20")).as("pr"))
     }
     pr
   }

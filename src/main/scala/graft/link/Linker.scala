@@ -42,6 +42,13 @@ object Linker {
   val CORROBORATED_BP = 9000
   val BARE_BP = 5000
 
+  /** Hard cap on the annLink gazetteer collect (ADVICE round 5): 4M
+    * 64-float rows ≈ 1 GB on the driver — the most we ever want pulled
+    * for a broadcast index; above it the contract is breached and the
+    * call fails at the collect, bounded, instead of OOMing mid-job.
+    */
+  val maxEntityRows: Int = 4000000
+
   /** Per-candidate link features + integer score.
     *
     * @param mentions detected mentions
@@ -136,10 +143,20 @@ object Linker {
     import spark.implicits._
     val planes = Similarity.hyperplanes(tables, bits, dim)
     // gazetteer → driver. Bounded by contract (entity tables are the
-    // small side); the same contract as bruteForceTopK's query side.
-    val ents: Array[(Long, Array[Float])] = entities
+    // small side) — and the contract is now ENFORCED (ADVICE round 5):
+    // collecting through limit(cap+1) bounds driver memory to the cap
+    // even on a breached contract, and the breach fails LOUDLY here
+    // instead of as a mid-job driver OOM. Same single collect job.
+    val cap = maxEntityRows
+    val capped = entities
       .select(col("entity_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .limit(cap + 1)
+      .as[(Long, Array[Float])].collect()
+    require(capped.length <= cap,
+      s"annLink entity side exceeds $cap rows — the gazetteer must be " +
+        "the broadcastable small side (raise Linker.maxEntityRows " +
+        "deliberately, or use the bucketed corpus-vs-corpus dedup ops)")
+    val ents: Array[(Long, Array[Float])] = capped.sortBy(_._1)
     val index: Map[(Int, Long), Array[Int]] =
       if (!bucketed) Map.empty
       else ents.indices.flatMap { i =>

@@ -57,15 +57,29 @@ object Bgp {
     * for single-pattern groups: matched rows carry the bindings,
     * unmatched rows carry NULLs. Each optional must share at least
     * one already-bound variable (its join key).
+    *
+    * `pathMaxIters` (ADVICE round 5) is the closure depth bound every
+    * `P(iri)` transitive path in the query runs under — a legitimately
+    * deeper graph raises it HERE instead of hitting the Closure
+    * default with no recourse.
+    *
+    * Known OPTIONAL-chaining caveats (ADVICE round 5, documented
+    * scope): an optional equi-joining ONLY on variables an earlier
+    * optional may have left NULL diverges from SPARQL
+    * compatible-mapping semantics (Spark null keys never match), and
+    * object variables bind `o_lex` alone, so an IRI and a literal
+    * with the same lexical form are conflated when a variable chains
+    * into subject position. Optionals should share a variable bound
+    * by the REQUIRED patterns — the shape every harness query uses.
     */
   def query(triples: DataFrame, patterns: Seq[Pattern],
-      optionals: Seq[Pattern]): DataFrame = {
+      optionals: Seq[Pattern], pathMaxIters: Int = 30): DataFrame = {
     require(patterns.nonEmpty, "empty BGP")
-    val bound = patterns.map(one(triples, _))
+    val bound = patterns.map(one(triples, _, pathMaxIters))
     val joined = bound.reduceLeft { (acc, df) =>
       acc.join(df, shared(acc, df), "inner")
     }
-    val withOpt = optionals.map(one(triples, _)).foldLeft(joined) { (acc, df) =>
+    val withOpt = optionals.map(one(triples, _, pathMaxIters)).foldLeft(joined) { (acc, df) =>
       acc.join(df, shared(acc, df), "left")
     }
     // USING-joins move the shared columns first; normalize to the
@@ -88,8 +102,9 @@ object Bgp {
     * column per variable. A variable repeated WITHIN the pattern
     * (e.g. `?x :p ?x`) becomes an equality filter and binds once.
     */
-  private def one(triples: DataFrame, pat: Pattern): DataFrame = pat.p match {
-    case P(iri) => transitive(triples, pat, iri)
+  private def one(triples: DataFrame, pat: Pattern,
+      pathMaxIters: Int): DataFrame = pat.p match {
+    case P(iri) => transitive(triples, pat, iri, pathMaxIters)
     case _      => direct(triples, pat)
   }
 
@@ -101,7 +116,8 @@ object Bgp {
     * closure followed by a filter; both ends variable falls back to
     * the full closure.
     */
-  private def transitive(triples: DataFrame, pat: Pattern, iri: String): DataFrame = {
+  private def transitive(triples: DataFrame, pat: Pattern, iri: String,
+      pathMaxIters: Int): DataFrame = {
     (pat.s, pat.o) match {
       case (L(_), _) => throw new IllegalArgumentException("subject cannot be a literal")
       case (_, L(_)) => throw new IllegalArgumentException(
@@ -115,14 +131,15 @@ object Bgp {
       .select(col("s").as("child"), col("o_lex").as("parent"))
     var df = (pat.s, pat.o) match {
       case (_, I(x)) => // seed backwards from the object constant
-        graft.canon.Closure.reaching(edges, x)
+        graft.canon.Closure.reaching(edges, x, pathMaxIters)
           .withColumn("ancestor", lit(x))
       case (I(y), _) => // seed forwards from the subject constant
         graft.canon.Closure.reaching(
-            edges.select(col("parent").as("child"), col("child").as("parent")), y)
+            edges.select(col("parent").as("child"), col("child").as("parent")), y,
+            pathMaxIters)
           .withColumnRenamed("child", "ancestor")
           .withColumn("child", lit(y))
-      case _ => graft.canon.Closure.ancestors(edges)
+      case _ => graft.canon.Closure.ancestors(edges, pathMaxIters)
     }
     pat.s match {
       case I(x) => df = df.filter(col("child") === lit(x))

@@ -96,19 +96,29 @@ object Dedup {
       }
       .toDF("doc_id", "sh", "sz"))
     val posting = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
-    // df guard as a WINDOW COUNT over the same hashpartitioning(shingle)
-    // the pair self-join requires — NOT a join against a distinct
-    // kept-shingle table: that table grows with the corpus, and at 100×
-    // (500k docs, ~10M kept shingles) AQE's runtime size estimate let
-    // it through as a broadcast whose in-memory HashedRelation OOMed
-    // the driver (found by graft.DedupScale; VERDICT r4 item 6). The
-    // window adds no broadcast candidate, and its exchange is the one
-    // the self-join reuses.
-    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-    val p = posting
-      .withColumn("__df", count(lit(1)).over(wSh))
+    // df guard as groupBy-count + join (ADVICE round 5): the round-5
+    // WINDOW spelling funneled a mega-hot shingle's full posting list
+    // through ONE window task that AQE cannot split — the exact skew
+    // class passageDedup documents — and paid a per-partition SORT of
+    // the whole posting list; the groupBy's map-side partial
+    // aggregation absorbs hot shingles instead, and the join back is
+    // AQE-skew-splittable. shuffle_hash pins the join away from the
+    // broadcast the round-4 100× run proved fatal: the kept-shingle
+    // table grows with the corpus, and AQE's runtime size estimate
+    // admitted it as a driver HashedRelation that OOMed
+    // (graft.DedupScale; VERDICT r4 item 6) — same refusal as
+    // passageDedup's ownership join. Both aggregate and join key on
+    // shingle, so the posting exchange is planned once and reused.
+    val keep = posting.groupBy("shingle").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDf)
-      .drop("__df")
+      .select("shingle")
+    val p = posting.join(keep.hint("shuffle_hash"), "shingle")
+    // the pair SELF-join is left unhinted, exactly as round 5 planned
+    // it: at bench scale the planner broadcasts the kept posting side
+    // (cheap, safe at these sizes), at production scale real stats
+    // push it to a shuffled join AQE can skew-split — forcing
+    // shuffle_hash here measured +0.6-1.1 s per consumer at sf0.1 by
+    // duplicating the shuffled subtree on both sides.
     p.as("a").join(p.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -453,17 +463,22 @@ object Dedup {
     val sigs = graft.util.Cut.cut(simhashSigTable(docs))
     val chunked0 = sigs.select(col("doc_id"), col("sig"),
       posexplode(col("chunks")).as(Seq("chunk", "key")))
-    // same window-count shape as the n-gram df guard (and for the same
-    // reason): a count-table join is a corpus-sized broadcast candidate;
-    // the window rides the (chunk, key) partitioning the self-join
-    // needs anyway
+    // same groupBy-count + shuffle_hash spelling as the n-gram df
+    // guard (ADVICE round 5, and for the same reason): the window
+    // variant funneled a hot chunk key's whole posting through one
+    // unsplittable window task; partial aggregation absorbs the hot
+    // key map-side, and shuffle_hash pins the join away from the
+    // corpus-sized broadcast class the round-4 100× run OOMed on
     val chunked =
       if (maxBucket == Long.MaxValue) chunked0
-      else chunked0
-        .withColumn("__n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("chunk", "key")))
-        .filter(col("__n") <= maxBucket)
-        .drop("__n")
+      else {
+        val keep = chunked0.groupBy("chunk", "key")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucket)
+          .select("chunk", "key")
+        chunked0.join(keep.hint("shuffle_hash"), Seq("chunk", "key"))
+          .select("doc_id", "sig", "chunk", "key")
+      }
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -526,26 +541,52 @@ object Dedup {
     BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Embedding-cosine near-dup pairs, blocked by a PRE-EXISTING coarse
-    * key column (a cluster/category id) so the self-join is per-block,
-    * not global. Pair scoring runs in a typed map (tight JVM loop —
-    * the pair count is quadratic per block, the one place scoring cost
-    * multiplies). When no natural block key exists — the 100 TB case —
+    * key column (a cluster/category id) so pairing is per-block, not
+    * global. Round-6 shape (guide §8 "decide with small rows"): ONE
+    * shuffle of the vectors by block key, then a block-local tight
+    * loop scores all pairs — the round-5 self-join materialized every
+    * candidate pair as a JOIN ROW (two copied vectors per pair) and
+    * then deserialized both arrays per pair in the typed scorer,
+    * paying quadratic row-construction for what is one primitive loop
+    * over vectors deserialized ONCE per block (measured 6.2x on the
+    * degenerate single-block recall denominator). Each block must fit
+    * a task — the same bound the blocked join's per-key build side
+    * carried; when no bounded block key exists — the 100 TB case —
     * use [[embeddingNearDupPairsLsh]], which computes its own blocks.
+    * NULL block keys pair with nothing (the join semantics).
     */
   def embeddingNearDupPairs(emb: DataFrame, tau: Double = 0.95,
       blockCol: String = "label"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val e = emb.select(col("vec_id").cast("long"), col(blockCol).as("blk"), col("embedding"))
-    e.as("a").join(e.as("b"),
-        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.embedding").as("va"), col("b.embedding").as("vb"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .mapPartitions(it => it.flatMap { case (ia, ib, va, vb) =>
-        val sim = round5(cosineOf(va, vb))
-        if (sim >= tau) Some((ia, ib, sim)) else None
-      })
+    val t = tau
+    emb.select(col(blockCol).cast("string").as("blk"),
+        col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("blk").isNotNull)
+      .as[(String, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val m = it.toArray.sortBy(_._2)
+        val out = Iterator.tabulate(m.length) { i =>
+          Iterator.range(i + 1, m.length).flatMap { j =>
+            // ascending sort ⇒ only exact id ties need skipping (the
+            // join's strict a.id < b.id); round5 only when the raw
+            // cosine can still clear tau after HALF_UP 5dp rounding
+            if (m(i)._2 == m(j)._2) None
+            else {
+              val raw = cosineOf(m(i)._3, m(j)._3)
+              // margin 1e-5 = 2x the 5dp rounding radius: everything a
+              // HALF_UP 5dp round could still lift to tau gets rounded
+              if (raw < t - 0.00001) None
+              else {
+                val sim = round5(raw)
+                if (sim >= t) Some((m(i)._2, m(j)._2, sim)) else None
+              }
+            }
+          }
+        }
+        out.flatten
+      }
       .toDF("id_a", "id_b", "sim")
   }
 
@@ -585,22 +626,31 @@ object Dedup {
     // tables×bits plane dot products over the corpus run twice (same
     // convention as the minhash/simhash signature tables)
     val buckets = graft.util.Cut.cut(embeddingBucketTable(emb, tables, bits, dim))
-    val cand = buckets.as("a").join(buckets.as("b"),
+    // pin the bucket exchange at the configured shuffle parallelism
+    // (same rationale as the n-gram posting list): the bucket table is
+    // bytes-tiny but the self-join's output is quadratic per bucket,
+    // and AQE's byte-based coalescing would run the whole expansion on
+    // 2-3 tasks; the explicit repartition IS the join's exchange.
+    val bk = buckets.repartition(
+      spark.sessionState.conf.numShufflePartitions, col("t"), col("bucket"))
+    val cand = bk.as("a").join(bk.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
     val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+    // verify with the codegen'd CosineSim expression (identical
+    // accumulation order to cosineOf — the contract [[cosine]]
+    // documents): the round-5 typed scorer re-deserialized BOTH
+    // 64-float arrays per candidate pair and paid a BigDecimal round
+    // per pair; the Column tree reads the joined arrays in place and
+    // whole-stage-codegens with the join above it
     cand
       .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
       .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .mapPartitions(it => it.flatMap { case (ia, ib, va, vb) =>
-        val sim = round5(cosineOf(va, vb))
-        if (sim >= tau) Some((ia, ib, sim)) else None
-      })
-      .toDF("id_a", "id_b", "sim")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 5).as("sim"))
+      .filter(col("sim") >= tau)
   }
 
   /** Benchmark DECONTAMINATION — flag training documents that share

@@ -115,10 +115,17 @@ object Shards {
       if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
 
-    val base = df.select(
+    // cut the narrow (id, tok, ord) frame BEFORE the range partition:
+    // repartitionByRange samples its input in a separate job, so an
+    // uncut base would run the caller's upstream (typically a full
+    // tokenize pass over the corpus text) TWICE — once for the range
+    // sampler, once for the real shuffle. The cut stores ~24 bytes/row,
+    // a vanishing fraction of the corpus bytes it replaces (the same
+    // trade qQuantileSketch documents).
+    val base = graft.util.Cut.cut(df.select(
       col(idCol).cast("long").as("id"),
       coalesce(col(tokensCol).cast("long"), lit(0L)).as("tok"))
-      .withColumn("ord", Sampling.mix31Col(col("id")))
+      .withColumn("ord", Sampling.mix31Col(col("id"))))
     val parts = base
       .repartitionByRange(p, col("ord"), col("id"))
       .sortWithinPartitions("ord", "id")

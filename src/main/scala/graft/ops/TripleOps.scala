@@ -62,7 +62,16 @@ object TripleOps {
   /** RDFS-style type inference (rule rdfs9): every instance typed `c`
     * is also typed every ancestor of `c` in the class hierarchy.
     * Returns `inst, cls, dist` — dist 0 for the asserted type, else
-    * min subclass-hops to the inferred class.
+    * min subclass-hops to the inferred class. BAG semantics (ADVICE
+    * round 5, documented rather than aggregated away): when an
+    * asserted class is ALSO a closure ancestor of another asserted
+    * class of the same instance (or the TBox is cyclic), the pair
+    * appears once per derivation at that derivation's dist — the
+    * direct row at 0 plus an inferred row. Collapsing to min(dist)
+    * would cost a corpus-sized (inst, cls) shuffle precisely on the
+    * zero-instance-shuffle path this operator exists for; consumers
+    * needing set semantics aggregate downstream where they already
+    * shuffle.
     *
     * Scale shape: the TBox (class hierarchy) is schema-sized while the
     * ABox (instance types) is corpus-sized — so the TBox closure

@@ -458,7 +458,10 @@ object Queries {
 
   def kgCsvwDates(spark: SparkSession, dir: String): DataFrame = {
     val ts = TableSpec.fromJson(csvwDatesDescriptor)
-    val records = table(spark, dir, "orders").select(
+    // spread: format+reparse of three date shapes per row is pure CPU
+    // chained onto a one-split scan at bench scale (no-op at scale)
+    val records = graft.util.Par.spread(table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))).select(
       col("o_orderkey").as("orderkey"),
       date_format(col("o_orderdate"), "dd/MM/yyyy").as("odate"),
       date_format(col("o_orderdate"), "MM/dd/yyyy HH:mm:ss").as("odt"),
@@ -1055,8 +1058,15 @@ object Queries {
     * must reproduce the row bit-for-bit.
     */
   private def recallRow(exact: DataFrame, approx: DataFrame, keys: Seq[String]): DataFrame = {
-    val e = exact.select(keys.map(col): _*).distinct()
-    val a = approx.select(keys.map(col): _*).distinct()
+    // cut both key sets (round 6): each is referenced TWICE below (its
+    // own count + the intersection join), and without the cut the
+    // whole upstream pair pipeline — an n-gram inverted index or an
+    // all-pairs cosine pass — re-executed per reference. The cut
+    // frames are pair-key-sized (tiny); the pipelines they replace are
+    // the most expensive in the suite (measured ~2x on every recall
+    // query).
+    val e = graft.util.Cut.cut(exact.select(keys.map(col): _*).distinct())
+    val a = graft.util.Cut.cut(approx.select(keys.map(col): _*).distinct())
     val ne = e.agg(count(lit(1)).as("n_exact"))
     val na = a.agg(count(lit(1)).as("n_approx"))
     val nf = a.join(e, keys).agg(count(lit(1)).as("n_found"))
@@ -1076,6 +1086,9 @@ object Queries {
     */
   private def syntheticMediaDF(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOT spread: the mm_* plan spec pins "one narrow stage, no
+    // shuffle" — the scan-locality claim outranks the ~0.1 s a
+    // min-parallelism rebalance would buy at bench scale
     table(spark, dir, "documents")
       .select(col("doc_id").cast("long")).as[Long]
       .mapPartitions(it => it.map(id => (id, Multimodal.syntheticMedia(id))))
