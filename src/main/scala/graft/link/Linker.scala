@@ -148,15 +148,21 @@ object Linker {
     // even on a breached contract, and the breach fails LOUDLY here
     // instead of as a mid-job driver OOM. Same single collect job.
     val cap = maxEntityRows
+    // untyped Row collect so the limit stays the TOP operator: that
+    // keeps Spark's CollectLimit incremental-take fast path (a typed
+    // collect would plan the deserializer above the limit and pay a
+    // single-partition exchange)
     val capped = entities
       .select(col("entity_id").cast("long"), col("embedding"))
       .limit(cap + 1)
-      .as[(Long, Array[Float])].collect()
+      .collect()
     require(capped.length <= cap,
       s"annLink entity side exceeds $cap rows — the gazetteer must be " +
         "the broadcastable small side (raise Linker.maxEntityRows " +
         "deliberately, or use the bucketed corpus-vs-corpus dedup ops)")
-    val ents: Array[(Long, Array[Float])] = capped.sortBy(_._1)
+    val ents: Array[(Long, Array[Float])] = capped
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
     val index: Map[(Int, Long), Array[Int]] =
       if (!bucketed) Map.empty
       else ents.indices.flatMap { i =>

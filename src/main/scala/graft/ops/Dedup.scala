@@ -548,8 +548,10 @@ object Dedup {
     * candidate pair as a JOIN ROW (two copied vectors per pair) and
     * then deserialized both arrays per pair in the typed scorer,
     * paying quadratic row-construction for what is one primitive loop
-    * over vectors deserialized ONCE per block (measured 6.2x on the
-    * degenerate single-block recall denominator). Each block must fit
+    * over vectors deserialized ONCE per block (measured ~2.8x on the
+    * blocked query and the dominant share of the recall query's 2.3x,
+    * whose denominator is the degenerate single-block all-pairs case).
+    * Each block must fit
     * a task — the same bound the blocked join's per-key build side
     * carried; when no bounded block key exists — the 100 TB case —
     * use [[embeddingNearDupPairsLsh]], which computes its own blocks.
