@@ -1062,9 +1062,10 @@ object Queries {
     // own count + the intersection join), and without the cut the
     // whole upstream pair pipeline — an n-gram inverted index or an
     // all-pairs cosine pass — re-executed per reference. The cut
-    // frames are pair-key-sized (tiny); the pipelines they replace are
-    // the most expensive in the suite (measured ~2x on every recall
-    // query).
+    // frames are pair-key-sized (tiny). Wins scale with pipeline
+    // cost (large on the embedding/minhash recalls, a wash on the
+    // cheap ANN ones where two extra materialization jobs offset the
+    // deduplicated stages).
     val e = graft.util.Cut.cut(exact.select(keys.map(col): _*).distinct())
     val a = graft.util.Cut.cut(approx.select(keys.map(col): _*).distinct())
     val ne = e.agg(count(lit(1)).as("n_exact"))
